@@ -1,0 +1,103 @@
+"""Dataset construction + host->HBM batching.
+
+The TPU replacement for the reference's ``torch.utils.data.DataLoader``
+wiring (``online_adaption.py:89-94``): a config-driven dataset factory and a
+``load_batch`` that stacks windows and lands them on device in one
+``jax.device_put`` (the reference instead does four ``.to(device)`` copies
+per batch, ``online_adaption.py:217-220``). Background-thread prefetch keeps
+the host decode off the critical path when iterating.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def make_dataset(config, *, sequence_length: Optional[int] = None):
+    """Build the dataset selected by ``DATA.name`` with reference knobs."""
+    name = config.DATA.name
+    seqlen = sequence_length or config.DEMO.sequence_length
+    kwargs = dict(
+        seqlen=seqlen,
+        height=config.DATA.height,
+        width=config.DATA.width,
+        dilation=config.DATA.dilation,
+        stride=config.DATA.stride,
+        start=config.DATA.start,
+    )
+    if name == "synthetic":
+        from e2eslam_tpu.data.synthetic import SyntheticDataset
+
+        total = (config.DATA.start or 0) + seqlen * ((config.DATA.dilation or 0) + 1) + 8
+        return SyntheticDataset(total_frames=total, **kwargs)
+    if name == "ICL":
+        from e2eslam_tpu.data.tumicl import ICLDataset
+
+        return ICLDataset(basedir=f"{config.DATA.data_path}/ICL", **kwargs)
+    if name == "TUM":
+        from e2eslam_tpu.data.tumicl import TUMDataset
+
+        return TUMDataset(basedir=f"{config.DATA.data_path}/TUM", **kwargs)
+    raise ValueError(f"unknown dataset {name}")
+
+
+def load_batch(dataset, indices: Sequence[int], *, device=None):
+    """Stack windows into a [B, ...] batch and place it on device.
+
+    Returns (colors [B,L,H,W,3] in [0,1], depths [B,L,H,W,1],
+    intrinsics [B,4,4], poses [B,L,4,4], transforms [B,L,4,4]).
+    Colors are normalized here (the reference does ``colors /= 255`` in every
+    driver, ``online_adaption.py:215``).
+    """
+    items = [dataset[i] for i in indices]
+    colors = np.stack([it[0] for it in items]) / 255.0
+    depths = np.stack([it[1] for it in items])
+    intrinsics = np.stack([it[2] for it in items])
+    poses = np.stack([it[3] for it in items])
+    transforms = np.stack([it[4] for it in items])
+    batch = (
+        colors.astype(np.float32),
+        depths.astype(np.float32),
+        intrinsics.astype(np.float32),
+        poses.astype(np.float32),
+        transforms.astype(np.float32),
+    )
+    if device is not None:
+        batch = jax.device_put(batch, device)
+    return batch
+
+
+def prefetch_batches(
+    dataset,
+    batch_indices: Iterable[Sequence[int]],
+    *,
+    num_threads: int = 1,
+    capacity: int = 2,
+    device=None,
+) -> Iterator:
+    """Background-thread batch prefetcher (the DataLoader-workers analogue)."""
+    if num_threads <= 0:
+        for idxs in batch_indices:
+            yield load_batch(dataset, idxs, device=device)
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=capacity)
+    sentinel = object()
+
+    def worker():
+        for idxs in batch_indices:
+            q.put(load_batch(dataset, idxs, device=device))
+        q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            break
+        yield item

@@ -1,0 +1,151 @@
+"""Procedural synthetic RGB-D sequences (analytic box scene, exact GT).
+
+The test/benchmark workhorse: deterministic ray-cast rendering of the inside
+of a textured axis-aligned box with a smooth camera trajectory. Colors are a
+bandlimited 3D procedural texture evaluated at the hit point, so photometric
+view-synthesis losses behave like real data (view-consistent, smooth
+gradients); depth and poses are exact, so metric assertions can be tight.
+
+Emits the reference dataset tuple layout (gradslam datasets, unpacked at
+reference ``train_depth.py:254``):
+  (colors [L,H,W,3] in 0..255, depths [L,H,W,1], intrinsics [4,4],
+   poses [L,4,4] cam-to-world, transforms [L,4,4] relative)
+with the same windowing knobs (seqlen / dilation / stride / start).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BOX = np.array([4.0, 3.0, 5.0])  # box extents (meters); interior scene
+
+
+def _texture(X: np.ndarray) -> np.ndarray:
+    """Bandlimited RGB texture of world position X [..., 3] -> [..., 3]."""
+    x, y, z = X[..., 0], X[..., 1], X[..., 2]
+    r = 0.5 + 0.20 * np.sin(3.1 * x + 1.7 * z) + 0.15 * np.sin(7.3 * y)
+    g = 0.5 + 0.20 * np.sin(2.3 * y + 1.1 * x) + 0.15 * np.sin(5.9 * z)
+    b = 0.5 + 0.20 * np.sin(2.9 * z + 1.3 * y) + 0.15 * np.sin(6.7 * x)
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+
+def _pose(t: float) -> np.ndarray:
+    """Smooth trajectory inside the box: gentle arc + slow yaw. c2w [4,4]."""
+    C = np.array(
+        [
+            2.0 + 0.6 * np.sin(0.9 * t),
+            1.5 + 0.10 * np.sin(1.3 * t),
+            1.0 + 0.35 * t,
+        ]
+    )
+    yaw = 0.12 * np.sin(0.7 * t)
+    pitch = 0.05 * np.sin(1.1 * t)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    R = Ry @ Rx
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = C
+    return T
+
+
+def _render(pose: np.ndarray, K: np.ndarray, height: int, width: int):
+    """Ray-cast the box interior. Returns (color [H,W,3] in [0,1], depth [H,W,1])."""
+    xs, ys = np.meshgrid(np.arange(width), np.arange(height))
+    d_cam = np.stack(
+        [(xs - K[0, 2]) / K[0, 0], (ys - K[1, 2]) / K[1, 1], np.ones_like(xs, np.float64)],
+        axis=-1,
+    )  # [H, W, 3], z = 1 so ray parameter == z-depth
+    R, C = pose[:3, :3], pose[:3, 3]
+    d_w = d_cam @ R.T  # [H, W, 3]
+
+    best_s = np.full((height, width), np.inf)
+    # The 6 box faces: axis-aligned planes at 0 and BOX[axis].
+    for axis in range(3):
+        for value in (0.0, BOX[axis]):
+            denom = d_w[..., axis]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (value - C[axis]) / denom
+                hit = C[None, None, :] + s[..., None] * d_w
+            ok = (s > 1e-6) & np.isfinite(s)
+            for other in range(3):
+                if other != axis:
+                    ok &= (hit[..., other] >= -1e-6) & (hit[..., other] <= BOX[other] + 1e-6)
+            best_s = np.where(ok & (s < best_s), s, best_s)
+
+    hit = C[None, None, :] + best_s[..., None] * d_w
+    color = _texture(hit)
+    depth = best_s.astype(np.float32)[..., None]  # d_cam z == 1
+    return color.astype(np.float32), depth
+
+
+def _poses_to_transforms(poses: np.ndarray) -> np.ndarray:
+    out = np.empty_like(poses)
+    out[0] = np.eye(4)
+    for k in range(1, poses.shape[0]):
+        out[k] = np.linalg.inv(poses[k - 1]) @ poses[k]
+    return out
+
+
+class SyntheticDataset:
+    """Windowed synthetic RGB-D sequence dataset (gradslam-style args)."""
+
+    def __init__(
+        self,
+        seqlen: int = 4,
+        height: int = 256,
+        width: int = 320,
+        dilation: int = 0,
+        stride: int = 1,
+        start: int = 0,
+        total_frames: int = 200,
+        dt: float = 0.08,
+    ):
+        self.seqlen = seqlen
+        self.height = height
+        self.width = width
+        # gradslam semantics: dilation = frames skipped BETWEEN consecutive
+        # extracted frames; stride = frames between window starts.
+        self.dilation = dilation or 0
+        self.stride = stride or 1
+        self.start = start or 0
+        self.total_frames = total_frames
+        self.dt = dt
+
+        fx = 0.75 * width  # ~55 deg horizontal FoV
+        self.intrinsics = np.array(
+            [
+                [fx, 0, width / 2.0, 0],
+                [0, fx, height / 2.0, 0],
+                [0, 0, 1, 0],
+                [0, 0, 0, 1],
+            ],
+            np.float32,
+        )
+
+        span = (seqlen - 1) * (self.dilation + 1) + 1
+        starts = range(self.start, max(self.start + 1, total_frames - span + 1), self.stride)
+        self.windows = [
+            [s + i * (self.dilation + 1) for i in range(seqlen)] for s in starts
+        ]
+        self._cache = {}
+
+    def __len__(self) -> int:
+        return len(self.windows)
+
+    def _frame(self, idx: int):
+        if idx not in self._cache:
+            pose = _pose(idx * self.dt).astype(np.float32)
+            color, depth = _render(pose, self.intrinsics, self.height, self.width)
+            self._cache[idx] = (color, depth, pose)
+        return self._cache[idx]
+
+    def __getitem__(self, i: int):
+        frames = [self._frame(idx) for idx in self.windows[i]]
+        colors = np.stack([f[0] for f in frames]) * 255.0
+        depths = np.stack([f[1] for f in frames])
+        poses = np.stack([f[2] for f in frames])
+        transforms = _poses_to_transforms(poses.astype(np.float64)).astype(np.float32)
+        return colors, depths, self.intrinsics.copy(), poses, transforms

@@ -1,0 +1,31 @@
+"""Loss stack: photometric (SSIM+L1), regularizers, 3D point losses, metrics."""
+
+from e2eslam_tpu.losses.photometric import ssim, photometric_loss
+from e2eslam_tpu.losses.regularizers import (
+    disparity_smoothness_loss,
+    geometric_consistency_loss,
+    depth_regularizer,
+    depth_gt_loss,
+    sparse_sampling,
+)
+from e2eslam_tpu.losses.points import (
+    knn_points_loss,
+    color_points_loss,
+    chamfer_distance,
+)
+from e2eslam_tpu.losses.metrics import depth_metrics, compute_depth_errors
+
+__all__ = [
+    "ssim",
+    "photometric_loss",
+    "disparity_smoothness_loss",
+    "geometric_consistency_loss",
+    "depth_regularizer",
+    "depth_gt_loss",
+    "sparse_sampling",
+    "knn_points_loss",
+    "color_points_loss",
+    "chamfer_distance",
+    "depth_metrics",
+    "compute_depth_errors",
+]

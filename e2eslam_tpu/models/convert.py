@@ -1,0 +1,178 @@
+"""PyTorch checkpoint -> flax pytree converter.
+
+Replaces the reference's loading paths (``train_depth.py:798-845``):
+  * indoor: a single ``depth.pth.tar`` whose ``state_dict`` holds the full
+    ``DispResNet_Indoor`` (keys ``encoder.encoder.*`` / ``decoder.decoder.*``);
+  * monodepth2: per-module ``{name}.pth`` files (``encoder.pth`` with extra
+    ``height/width/use_stereo`` entries to drop, ``depth.pth`` with decoder
+    keys ``decoder.{idx}...``).
+
+The flax modules in this package name their submodules so the mapping is a
+mechanical rename:
+  conv weights   [O, I, kh, kw] -> kernel [kh, kw, I, O]
+  bn weight/bias -> scale/bias;  running_mean/var -> batch_stats mean/var
+  decoder ModuleList index: upconv_{i}_{j} -> (4 - i) * 2 + j, dispconv_{s}
+  -> 10 + s.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Tuple
+
+import jax
+import numpy as np
+
+_BN_LEAF_MAP = {
+    "scale": "weight",
+    "bias": "bias",
+    "mean": "running_mean",
+    "var": "running_var",
+}
+
+_JUNK_KEYS = ("height", "width", "use_stereo")
+
+
+def _canonicalize(state_dict: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    """Normalize torch keys to ``encoder.<torchname>`` / ``decoder.<idx>...``."""
+    out: Dict[str, np.ndarray] = {}
+    for key, value in state_dict.items():
+        if key in _JUNK_KEYS or key.endswith("num_batches_tracked"):
+            continue
+        k = key
+        if k.startswith("module."):
+            k = k[len("module."):]
+        # Full-model checkpoints nest the torchvision net / ModuleList once
+        # more (DispResNet_Indoor.encoder.encoder, decoder.decoder).
+        if k.startswith("encoder.encoder."):
+            k = "encoder." + k[len("encoder.encoder."):]
+        elif k.startswith("decoder.decoder."):
+            k = "decoder." + k[len("decoder.decoder."):]
+        elif re.match(r"^decoder\.\d", k):
+            pass  # decoder-only .pth (monodepth2 depth.pth)
+        elif re.match(r"^(conv1|bn1|layer\d)\.", k):
+            k = "encoder." + k  # bare torchvision state dict
+        out[k] = np.asarray(
+            value.detach().cpu().numpy() if hasattr(value, "detach") else value
+        )
+    return out
+
+
+def _torch_key(path: Tuple[str, ...], collection: str) -> str:
+    """Map a flax param path to the canonical torch key."""
+    parts = list(path)
+    leaf = parts[-1]
+
+    if parts[0] == "encoder":
+        segs = parts[1:-1]
+        torch_segs = []
+        for seg in segs:
+            m = re.fullmatch(r"layer(\d)_(\d+)", seg)
+            if m:
+                torch_segs.append(f"layer{m.group(1)}.{m.group(2)}")
+            elif seg == "downsample_conv":
+                torch_segs.append("downsample.0")
+            elif seg == "downsample_bn":
+                torch_segs.append("downsample.1")
+            else:
+                torch_segs.append(seg)
+        if collection == "batch_stats" or leaf in ("scale",):
+            suffix = _BN_LEAF_MAP[leaf]
+        elif leaf == "kernel":
+            suffix = "weight"
+        elif leaf == "bias":
+            # bias of a BatchNorm vs a Conv: resnet convs have no bias, so a
+            # bias leaf under encoder is always batch-norm.
+            suffix = "bias"
+        else:
+            raise KeyError(f"unexpected leaf {leaf} at {path}")
+        return "encoder." + ".".join(torch_segs) + "." + suffix
+
+    if parts[0] == "decoder":
+        seg = parts[1]
+        m = re.fullmatch(r"upconv_(\d)_(\d)", seg)
+        if m:
+            idx = (4 - int(m.group(1))) * 2 + int(m.group(2))
+            mid = "conv.conv"
+        else:
+            m = re.fullmatch(r"dispconv_(\d)", seg)
+            if not m:
+                raise KeyError(f"unexpected decoder module {seg}")
+            idx = 10 + int(m.group(1))
+            mid = "conv"
+        suffix = "weight" if leaf == "kernel" else "bias"
+        return f"decoder.{idx}.{mid}.{suffix}"
+
+    raise KeyError(f"unexpected top-level module {parts[0]}")
+
+
+def _convert_leaf(value: np.ndarray, leaf_name: str, target_shape) -> np.ndarray:
+    if leaf_name == "kernel":
+        value = np.transpose(value, (2, 3, 1, 0))
+    if tuple(value.shape) != tuple(target_shape):
+        raise ValueError(
+            f"shape mismatch converting leaf: torch {value.shape} vs flax {tuple(target_shape)}"
+        )
+    return value.astype(np.float32)
+
+
+def convert_torch_state_dict(
+    state_dict: Mapping[str, Any],
+    params,
+    batch_stats,
+    *,
+    strict: bool = True,
+):
+    """Fill flax ``params`` / ``batch_stats`` pytrees from a torch state dict.
+
+    Leaves with no matching torch key keep their initialized values when
+    ``strict=False`` (partial merge, as the reference's ``load_model`` does
+    for per-module checkpoints); with ``strict=True`` a miss is an error.
+    """
+    torch_sd = _canonicalize(state_dict)
+    used = set()
+
+    def fill(tree, collection):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        treedef = jax.tree_util.tree_structure(tree)
+        new_leaves = []
+        for keypath, leaf in flat:
+            path = tuple(
+                k.key if hasattr(k, "key") else str(k) for k in keypath
+            )
+            try:
+                tkey = _torch_key(path, collection)
+            except KeyError:
+                if strict:
+                    raise
+                new_leaves.append(leaf)
+                continue
+            if tkey in torch_sd:
+                used.add(tkey)
+                new_leaves.append(
+                    _convert_leaf(torch_sd[tkey], path[-1], leaf.shape)
+                )
+            else:
+                if strict:
+                    raise KeyError(f"missing torch key {tkey} for flax path {path}")
+                new_leaves.append(leaf)
+        return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    new_params = fill(params, "params")
+    new_stats = fill(batch_stats, "batch_stats") if batch_stats else batch_stats
+
+    if strict:
+        unused = set(torch_sd) - used
+        if unused:
+            raise KeyError(f"unconsumed torch keys: {sorted(unused)[:8]} ...")
+    return new_params, new_stats
+
+
+def load_torch_checkpoint(path: str, params, batch_stats, *, strict: bool = False):
+    """Load a ``.pth`` / ``.pth.tar`` file and convert it (needs torch)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    return convert_torch_state_dict(ckpt, params, batch_stats, strict=strict)

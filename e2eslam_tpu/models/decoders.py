@@ -1,0 +1,148 @@
+"""Monodepth2-style U-Net depth decoders (flax, NHWC).
+
+Parity with the reference decoders (``depth_estimation/networks.py:107-154``
+and ``:241-292``): per level ``upconv0 -> nearest 2x upsample -> concat skip
+-> upconv1``; decoder channels ``[16, 32, 64, 128, 256]``; reflection-padded
+3x3 convs + ELU; disparity heads are ``sigmoid`` (monodepth2, one head per
+scale in ``scales``) or ``alpha * sigmoid + beta`` with ``alpha=10,
+beta=0.01`` at scale 0 only (indoor).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+DECODER_CHANNELS = (16, 32, 64, 128, 256)
+
+
+def reflect_pad(x: Array, pad: int = 1) -> Array:
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+def zero_pad(x: Array, pad: int = 1) -> Array:
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+
+def upsample_nearest_2x(x: Array) -> Array:
+    """Nearest-neighbor 2x spatial upsample (torch ``F.interpolate`` parity)."""
+    B, H, W, C = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return x.reshape(B, H * 2, W * 2, C)
+
+
+class Conv3x3(nn.Module):
+    """Reflection-padded (or zero-padded) 3x3 convolution."""
+
+    features: int
+    use_refl: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = reflect_pad(x) if self.use_refl else zero_pad(x)
+        return nn.Conv(
+            self.features, (3, 3), padding="VALID", dtype=self.dtype, name="conv"
+        )(x)
+
+
+class ConvBlock(nn.Module):
+    """Conv3x3 followed by ELU."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return nn.elu(Conv3x3(self.features, dtype=self.dtype, name="conv")(x))
+
+
+class _UNetDecoder(nn.Module):
+    """Shared U-Net topology of both decoders; heads differ per subclass."""
+
+    num_ch_enc: Tuple[int, ...] = (64, 64, 128, 256, 512)
+    scales: Tuple[int, ...] = (0, 1, 2, 3)
+    num_output_channels: int = 1
+    use_skips: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    # Overridden by subclasses.
+    head_scales: Tuple[int, ...] = (0, 1, 2, 3)
+
+    def head(self, x: Array) -> Array:
+        raise NotImplementedError
+
+    @nn.compact
+    def __call__(self, features: Sequence[Array]) -> Dict[int, Array]:
+        outputs: Dict[int, Array] = {}
+        x = features[-1]
+        for i in range(4, -1, -1):
+            x = ConvBlock(
+                DECODER_CHANNELS[i], dtype=self.dtype, name=f"upconv_{i}_0"
+            )(x)
+            x = upsample_nearest_2x(x)
+            if self.use_skips and i > 0:
+                x = jnp.concatenate([x, features[i - 1]], axis=-1)
+            x = ConvBlock(
+                DECODER_CHANNELS[i], dtype=self.dtype, name=f"upconv_{i}_1"
+            )(x)
+            if i in self.scales and i in self.head_scales:
+                logits = Conv3x3(
+                    self.num_output_channels, dtype=self.dtype, name=f"dispconv_{i}"
+                )(x)
+                outputs[i] = self.head(logits)
+        return outputs
+
+
+class DepthDecoder(_UNetDecoder):
+    """monodepth2 decoder: sigmoid disparity heads at every scale in ``scales``."""
+
+    head_scales: Tuple[int, ...] = (0, 1, 2, 3)
+
+    def head(self, x: Array) -> Array:
+        return nn.sigmoid(x)
+
+
+class IndoorDepthDecoder(_UNetDecoder):
+    """Indoor decoder: ``10 * sigmoid + 0.01`` disparity, emitted at scale 0 only.
+
+    (reference ``networks.py:245-246`` and ``:289-290``). Note the reference
+    still CREATES dispconv heads for all four scales (they just never run);
+    we mirror that so converted checkpoints map one-to-one.
+    """
+
+    alpha: float = 10.0
+    beta: float = 0.01
+    head_scales: Tuple[int, ...] = (0,)
+
+    def head(self, x: Array) -> Array:
+        return self.alpha * nn.sigmoid(x) + self.beta
+
+    @nn.compact
+    def __call__(self, features: Sequence[Array]) -> Dict[int, Array]:
+        outputs: Dict[int, Array] = {}
+        x = features[-1]
+        for i in range(4, -1, -1):
+            x = ConvBlock(
+                DECODER_CHANNELS[i], dtype=self.dtype, name=f"upconv_{i}_0"
+            )(x)
+            x = upsample_nearest_2x(x)
+            if self.use_skips and i > 0:
+                x = jnp.concatenate([x, features[i - 1]], axis=-1)
+            x = ConvBlock(
+                DECODER_CHANNELS[i], dtype=self.dtype, name=f"upconv_{i}_1"
+            )(x)
+            if i in self.scales:
+                # Instantiate every head (checkpoint parity) but only scale 0
+                # contributes to the outputs.
+                logits = Conv3x3(
+                    self.num_output_channels, dtype=self.dtype, name=f"dispconv_{i}"
+                )(x)
+                if i == 0:
+                    outputs[i] = self.head(logits)
+        return outputs

@@ -1,0 +1,156 @@
+"""PointFusion: confidence-weighted surfel fusion into a fixed-capacity map.
+
+TPU-native re-design of gradslam's PointFusion step (the reference's
+``models["SLAM"].step``, ``online_adaption.py:354-363``): dense, shape-static
+and fully differentiable.
+
+Algorithm (Keller-style point-based fusion):
+  1. Project every map point into the live camera; candidates are the points
+     landing in-frustum on a pixel with valid live depth.
+  2. A candidate is *similar* if its 3D distance to the live vertex at that
+     pixel is below ``dist_th`` and its normal is within ``angle_th`` of the
+     live normal.
+  3. Per pixel, the closest similar candidate wins (two-pass scatter-min:
+     first on distance, then on index for deterministic tie-breaking).
+  4. Winners are updated in place with a confidence-weighted average; the
+     live measurement's confidence is a Gaussian of the normalized pixel
+     radius, ``alpha = exp(-gamma^2 / (2 sigma^2))`` (sigma = ``MODEL.sigma``).
+  5. Live pixels claimed by no winner append new map points at the buffer's
+     ``count`` cursor (masked scatter with drop semantics at capacity).
+
+Every step is a gather/where/scatter over static shapes: differentiable
+w.r.t. map state, live vertices/colors and (through the vertex map) the
+depth network — which is what makes the end-to-end 3D loss possible.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from e2eslam_tpu.core.se3 import se3_inverse, transform_points
+from e2eslam_tpu.slam.pointclouds import MapState
+from e2eslam_tpu.slam.rgbd import RGBDFrame
+
+Array = jax.Array
+
+
+class FramePoints(NamedTuple):
+    """A frame's pixels as a flat (masked) point set [H*W, ...]."""
+
+    points: Array  # [HW, 3] world frame
+    normals: Array  # [HW, 3]
+    colors: Array  # [HW, 3]
+    mask: Array  # [HW] float validity
+
+
+def frame_pointcloud(frame: RGBDFrame) -> FramePoints:
+    """Flatten a frame into a masked point set (gradslam: step on empty map)."""
+    HW = frame.depth.shape[0] * frame.depth.shape[1]
+    return FramePoints(
+        points=frame.vertices.reshape(HW, 3),
+        normals=frame.normals.reshape(HW, 3),
+        colors=frame.color.reshape(HW, 3),
+        mask=frame.valid.reshape(HW),
+    )
+
+
+def _pixel_alpha(H: int, W: int, intrinsics: Array, sigma: float) -> Array:
+    """Per-pixel measurement confidence: Gaussian in normalized pixel radius."""
+    cx = intrinsics[0, 2]
+    cy = intrinsics[1, 2]
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    gamma2 = ((xs - cx) ** 2 + (ys - cy) ** 2) / (cx**2 + cy**2 + 1e-12)
+    return jnp.exp(-gamma2 / (2.0 * sigma**2)).reshape(-1)
+
+
+def pointfusion_step(
+    state: MapState,
+    frame: RGBDFrame,
+    *,
+    dist_th: float = 0.05,
+    angle_th: float = 20.0,
+    sigma: float = 0.6,
+) -> MapState:
+    """Fuse one live frame into the global map. Returns the new map state."""
+    H, W = frame.depth.shape[:2]
+    HW = H * W
+    N = state.points.shape[0]
+    K = frame.intrinsics
+    dot_th = jnp.cos(jnp.deg2rad(angle_th))
+
+    live = frame_pointcloud(frame)
+    alpha = _pixel_alpha(H, W, K, sigma) * live.mask  # [HW]
+
+    # ---- 1. project map points into the live camera --------------------
+    inv_pose = se3_inverse(frame.pose)
+    p_cam = transform_points(inv_pose, state.points)  # [N, 3]
+    z = p_cam[:, 2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-8, z, 1e-8)
+    u = K[0, 0] * p_cam[:, 0] / safe_z + K[0, 2]
+    v = K[1, 1] * p_cam[:, 1] / safe_z + K[1, 2]
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+
+    valid_idx = jnp.arange(N) < state.count
+    in_frame = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (z > 0) & valid_idx
+    pix = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)  # [N]
+
+    # ---- 2. similarity test against the live measurement ---------------
+    v_live = jnp.take(live.points, pix, axis=0)  # [N, 3]
+    n_live = jnp.take(live.normals, pix, axis=0)
+    m_live = jnp.take(live.mask, pix, axis=0)
+    dist = jnp.linalg.norm(state.points - v_live, axis=-1)
+    ndot = jnp.sum(state.normals * n_live, axis=-1)
+    similar = in_frame & (m_live > 0) & (dist < dist_th) & (ndot > dot_th)
+
+    # ---- 3. per-pixel best candidate (scatter-min, then index tiebreak) -
+    big = jnp.float32(jnp.inf)
+    dist_m = jnp.where(similar, dist, big)
+    best_dist = jnp.full((HW,), big).at[pix].min(dist_m)
+    is_best = similar & (dist_m <= jnp.take(best_dist, pix))
+    idx_m = jnp.where(is_best, jnp.arange(N, dtype=jnp.int32), jnp.int32(N))
+    best_idx = jnp.full((HW,), N, jnp.int32).at[pix].min(idx_m)
+    winner = is_best & (jnp.arange(N, dtype=jnp.int32) == jnp.take(best_idx, pix))
+
+    # ---- 4. confidence-weighted in-place fusion of winners --------------
+    a = jnp.take(alpha, pix)  # [N] live confidence seen by each map point
+    c = state.confidence
+    wsum = jnp.maximum(c + a, 1e-12)
+    wf = winner[:, None].astype(state.points.dtype)
+
+    def fuse(old, new):
+        fused = (c[:, None] * old + a[:, None] * new) / wsum[:, None]
+        return old + wf * (fused - old)
+
+    points = fuse(state.points, v_live)
+    colors = fuse(state.colors, jnp.take(live.colors, pix, axis=0))
+    normals_raw = fuse(state.normals, n_live)
+    nnorm = jnp.linalg.norm(normals_raw, axis=-1, keepdims=True)
+    normals = jnp.where(nnorm > 1e-12, normals_raw / jnp.maximum(nnorm, 1e-12), normals_raw)
+    confidence = c + winner.astype(c.dtype) * a
+
+    # ---- 5. append unmatched live pixels --------------------------------
+    claimed = jnp.zeros((HW,), jnp.int32).at[pix].max(winner.astype(jnp.int32))
+    new_mask = (live.mask > 0) & (claimed == 0)
+    order = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
+    dest = state.count + order
+    ok = new_mask & (dest < N)
+    dest = jnp.where(ok, dest, N)  # out-of-range -> dropped by scatter
+
+    points = points.at[dest].set(live.points, mode="drop")
+    colors = colors.at[dest].set(live.colors, mode="drop")
+    normals = normals.at[dest].set(live.normals, mode="drop")
+    confidence = confidence.at[dest].set(alpha, mode="drop")
+    count = jnp.minimum(state.count + jnp.sum(new_mask.astype(jnp.int32)), N)
+
+    return MapState(
+        points=points,
+        normals=normals,
+        colors=colors,
+        confidence=confidence,
+        count=count,
+    )

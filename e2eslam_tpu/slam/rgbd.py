@@ -1,0 +1,86 @@
+"""RGB-D frame geometry: vertex maps, normal maps, world-frame lifting.
+
+The TPU-native replacement for gradslam's ``RGBDImages`` container (the
+reference constructs them at ``online_adaption.py:347-360``): instead of a
+stateful channels-last tensor object with lazily-computed properties, a frame
+is a plain pytree of NHWC arrays plus pure functions. Everything is
+shape-static and jit-safe.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from e2eslam_tpu.core.camera import inverse_intrinsics
+from e2eslam_tpu.core.projection import backproject
+from e2eslam_tpu.core.se3 import transform_points
+
+Array = jax.Array
+
+_mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+
+class RGBDFrame(NamedTuple):
+    """A single RGB-D frame (unbatched: [H, W, ...])."""
+
+    color: Array  # [H, W, 3] in [0, 1]
+    depth: Array  # [H, W, 1]
+    intrinsics: Array  # [4, 4]
+    pose: Array  # [4, 4] camera-to-world
+    vertices: Array  # [H, W, 3] world-frame vertex map
+    normals: Array  # [H, W, 3] world-frame normal map
+    valid: Array  # [H, W, 1] float: depth > 0
+
+
+def vertex_map(depth: Array, intrinsics: Array) -> Array:
+    """Camera-frame vertex map [H, W, 3] from depth [H, W, 1] and K [4, 4]."""
+    pts = backproject(depth[None], inverse_intrinsics(intrinsics)[None])
+    return pts[0]
+
+
+def normal_map(vertices: Array) -> Array:
+    """Per-pixel normals from forward differences of the vertex map.
+
+    ``n = normalize((v[y, x+1] - v) x (v[y+1, x] - v))``, zero where
+    undefined. Matches gradslam's vertex-map-difference normals in spirit;
+    edge rows/cols replicate their neighbor.
+    """
+    dx = jnp.diff(vertices, axis=1, append=vertices[:, -1:, :])
+    dy = jnp.diff(vertices, axis=0, append=vertices[-1:, :, :])
+    n = jnp.cross(dx, dy)
+    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return jnp.where(norm > 1e-12, n / jnp.maximum(norm, 1e-12), 0.0)
+
+
+def build_frame(
+    color: Array,
+    depth: Array,
+    intrinsics: Array,
+    pose: Optional[Array] = None,
+) -> RGBDFrame:
+    """Assemble an RGBDFrame, computing world vertex/normal maps."""
+    if depth.ndim == 2:
+        depth = depth[..., None]
+    if pose is None:
+        pose = jnp.eye(4, dtype=depth.dtype)
+    H, W = depth.shape[:2]
+
+    v_cam = vertex_map(depth, intrinsics)
+    v_world = transform_points(pose, v_cam.reshape(-1, 3)).reshape(H, W, 3)
+    n_cam = normal_map(v_cam)
+    n_world = _mm(n_cam.reshape(-1, 3), pose[:3, :3].T).reshape(H, W, 3)
+    valid = (depth > 0).astype(depth.dtype)
+
+    return RGBDFrame(
+        color=color,
+        depth=depth,
+        intrinsics=intrinsics,
+        pose=pose,
+        vertices=v_world,
+        normals=n_world,
+        valid=valid,
+    )

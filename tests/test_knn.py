@@ -1,0 +1,94 @@
+"""KNN kernel tests: XLA fallback + Pallas (interpret mode) vs numpy brute
+force, valid-count masking, and point-loss gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2eslam_tpu.losses import chamfer_distance, color_points_loss, knn_points_loss
+from e2eslam_tpu.ops.knn import knn_pallas, knn_xla
+
+
+def brute(query, ref):
+    d2 = ((query[:, None, :] - ref[None, :, :]) ** 2).sum(-1)
+    return d2.min(1), d2.argmin(1)
+
+
+@pytest.mark.parametrize("nq,nr", [(37, 53), (300, 2500), (1024, 1024)])
+def test_knn_xla_matches_brute(nq, nr):
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(nq, 3)).astype(np.float32)
+    r = rng.normal(size=(nr, 3)).astype(np.float32)
+    d, i = knn_xla(jnp.asarray(q), jnp.asarray(r))
+    bd, bi = brute(q, r)
+    np.testing.assert_array_equal(np.asarray(i), bi)
+    np.testing.assert_allclose(np.asarray(d), bd, atol=1e-4)
+
+
+def test_knn_xla_valid_count_masking():
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(64, 3)).astype(np.float32)
+    r = rng.normal(size=(512, 3)).astype(np.float32)
+    # Put perfect matches in the INVALID tail: they must be ignored.
+    r[300:364] = q
+    d, i = knn_xla(jnp.asarray(q), jnp.asarray(r), nr=300)
+    bd, bi = brute(q, r[:300])
+    np.testing.assert_array_equal(np.asarray(i), bi)
+    np.testing.assert_allclose(np.asarray(d), bd, atol=1e-4)
+
+
+def test_knn_pallas_interpret_matches_brute():
+    rng = np.random.default_rng(2)
+    q = rng.normal(size=(200, 3)).astype(np.float32)
+    r = rng.normal(size=(1500, 3)).astype(np.float32)
+    d, i = knn_pallas(jnp.asarray(q), jnp.asarray(r), interpret=True)
+    bd, bi = brute(q, r)
+    np.testing.assert_array_equal(np.asarray(i), bi)
+    np.testing.assert_allclose(np.asarray(d), bd, atol=1e-5)
+
+
+def test_knn_pallas_interpret_valid_count():
+    rng = np.random.default_rng(3)
+    q = rng.normal(size=(64, 3)).astype(np.float32)
+    r = rng.normal(size=(2048, 3)).astype(np.float32)
+    d, i = knn_pallas(jnp.asarray(q), jnp.asarray(r), nr=700, interpret=True)
+    bd, bi = brute(q, r[:700])
+    np.testing.assert_array_equal(np.asarray(i), bi)
+    np.testing.assert_allclose(np.asarray(d), bd, atol=1e-5)
+
+
+def test_knn_points_loss_value_and_grads():
+    rng = np.random.default_rng(4)
+    gt = jnp.asarray(rng.normal(size=(100, 3)).astype(np.float32))
+    noisy = gt[:50] + 0.01
+
+    loss, idx = knn_points_loss(gt, noisy)
+    assert float(loss) == pytest.approx(3 * 0.01**2, rel=1e-3)
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(50))
+
+    # Gradients flow to the query cloud; detached gt gets none through
+    # stop_gradient at the call site.
+    g = jax.grad(lambda q: knn_points_loss(gt, q)[0])(noisy)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_color_points_loss():
+    gt_pts = jnp.asarray(np.eye(3, dtype=np.float32) * 5)  # 3 well-separated pts
+    gt_col = jnp.asarray(np.array([[1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32))
+    q_pts = gt_pts[jnp.array([2, 0])] + 0.01
+    q_col = jnp.asarray(np.array([[0, 0, 1], [1, 0, 0]], np.float32))
+    _, idx = knn_points_loss(gt_pts, q_pts)
+    loss = color_points_loss(gt_col, q_col, idx)
+    assert float(loss) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_chamfer_symmetric_and_zero_on_identical():
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.normal(size=(80, 3)).astype(np.float32))
+    assert float(chamfer_distance(a, a)) == pytest.approx(0.0, abs=1e-5)
+    b = a + 0.1
+    ab = float(chamfer_distance(a, b))
+    ba = float(chamfer_distance(b, a))
+    assert ab == pytest.approx(ba, rel=1e-5)

@@ -1,0 +1,145 @@
+"""SLAM-layer tests: frame geometry, PointFusion behavior, gradICP odometry,
+and end-to-end differentiability through the map."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2eslam_tpu.data.synthetic import SyntheticDataset, BOX
+from e2eslam_tpu.slam import (
+    ICPSLAM,
+    MapState,
+    PointFusion,
+    build_frame,
+    empty_map,
+    frame_pointcloud,
+    gradicp,
+    pointfusion_step,
+)
+
+H, W = 64, 80
+
+
+@pytest.fixture(scope="module")
+def seq():
+    ds = SyntheticDataset(seqlen=3, height=H, width=W, dilation=4, total_frames=30)
+    colors, depths, K, poses, transforms = ds[0]
+    return (
+        jnp.asarray(colors / 255.0),
+        jnp.asarray(depths),
+        jnp.asarray(K),
+        jnp.asarray(poses),
+        jnp.asarray(transforms),
+    )
+
+
+def _frame(seq, i):
+    colors, depths, K, poses, _ = seq
+    return build_frame(colors[i], depths[i], K, poses[i])
+
+
+def test_build_frame_geometry(seq):
+    f = _frame(seq, 0)
+    assert f.vertices.shape == (H, W, 3)
+    # World vertices of a box-interior render lie inside the box.
+    v = np.asarray(f.vertices)
+    assert v[..., 0].min() > -0.1 and v[..., 0].max() < BOX[0] + 0.1
+    assert v[..., 2].min() > -0.1 and v[..., 2].max() < BOX[2] + 0.1
+    # Normals are unit length where valid.
+    n = np.linalg.norm(np.asarray(f.normals), axis=-1)
+    assert np.all((np.abs(n - 1) < 1e-3) | (n < 1e-6))
+
+
+def _surface_distance(points):
+    """Distance of world points to the nearest box face (analytic scene GT)."""
+    d = []
+    for axis in range(3):
+        d.append(np.abs(points[..., axis]))
+        d.append(np.abs(points[..., axis] - BOX[axis]))
+    return np.min(np.stack(d), axis=0)
+
+
+def test_fusion_first_frame_appends_all(seq):
+    f = _frame(seq, 0)
+    state = empty_map(H * W + 10)
+    state = pointfusion_step(state, f)
+    n_valid = int(np.asarray(f.valid).sum())
+    assert int(state.count) == n_valid
+    # Appended points are exactly the frame's vertices.
+    live = frame_pointcloud(f)
+    np.testing.assert_allclose(
+        np.asarray(state.points[: int(state.count)]),
+        np.asarray(live.points)[np.asarray(live.mask) > 0],
+        atol=1e-5,
+    )
+
+
+def test_fusion_same_frame_fuses_not_appends(seq):
+    f = _frame(seq, 0)
+    state = empty_map(2 * H * W)
+    state = pointfusion_step(state, f)
+    c1 = int(state.count)
+    conf1 = np.asarray(state.confidence[:c1]).copy()
+    state = pointfusion_step(state, f)
+    c2 = int(state.count)
+    # Same observation: (nearly) everything associates, count barely grows.
+    assert c2 - c1 < 0.05 * c1
+    conf2 = np.asarray(state.confidence[:c1])
+    assert np.mean(conf2 > conf1) > 0.9
+
+
+def test_fusion_capacity_clamp(seq):
+    f = _frame(seq, 0)
+    state = empty_map(100)  # far smaller than H*W
+    state = pointfusion_step(state, f)
+    assert int(state.count) == 100
+    assert np.all(np.isfinite(np.asarray(state.points)))
+
+
+def test_full_sequence_pointfusion_gt_odometry(seq):
+    colors, depths, K, poses, _ = seq
+    slam = PointFusion(odom="gt")
+    state, out_poses = slam(colors, depths, K, poses, capacity=3 * H * W)
+    np.testing.assert_allclose(np.asarray(out_poses), np.asarray(poses), atol=1e-5)
+    cnt = int(state.count)
+    assert cnt > H * W  # fused more than one frame of points
+    pts = np.asarray(state.points[:cnt])
+    # Every fused point lies on the analytic box surface (within fusion tol).
+    assert np.quantile(_surface_distance(pts), 0.99) < 0.05
+
+
+def test_icpslam_appends(seq):
+    colors, depths, K, poses, _ = seq
+    slam = ICPSLAM(odom="gt")
+    state, _ = slam(colors, depths, K, poses, capacity=3 * H * W + 10)
+    assert int(state.count) == int(np.asarray(depths > 0).sum())
+
+
+def test_gradicp_recovers_pose(seq):
+    f0 = _frame(seq, 0)
+    f1 = _frame(seq, 1)
+    est_pose = gradicp(f1, f0, numiters=30, dist_th=0.5, downsample=1)
+    gt = np.asarray(seq[3][1])
+    est = np.asarray(est_pose)
+    # translation error
+    terr = np.linalg.norm(est[:3, 3] - gt[:3, 3])
+    Rerr = np.arccos(np.clip((np.trace(est[:3, :3].T @ gt[:3, :3]) - 1) / 2, -1, 1))
+    gt_motion = np.linalg.norm(gt[:3, 3] - np.asarray(seq[3][0])[:3, 3])
+    assert terr < 0.25 * gt_motion, (terr, gt_motion)
+    assert Rerr < 0.02, Rerr
+
+
+def test_fusion_is_differentiable_wrt_depth(seq):
+    colors, depths, K, poses, _ = seq
+
+    def loss(d0):
+        f = build_frame(colors[0], d0, K, poses[0])
+        state = empty_map(H * W)
+        state = pointfusion_step(state, f)
+        return jnp.sum(state.points**2) / (H * W)
+
+    g = jax.grad(loss)(depths[0])
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g))
+    assert np.abs(g).max() > 0
