@@ -1,0 +1,92 @@
+"""Flagship benchmark: online adaptation (adapt + fuse) on a 60-frame sequence.
+
+Prints ONE JSON line:
+  {"metric": "refine_steps_per_sec", "value": N, "unit": "steps/s",
+   "vs_baseline": N}
+
+Workload (BASELINE.md north star): 60-frame sequence at 320x256, keyframe
+selection by camera-center distance, 3 PFT refinement steps per keyframe
+(depth forward+backward, photometric + end-to-end 3D point loss against the
+growing global map), PointFusion of the refined pair into the map. Dataset is
+synthetic (no ICL on this machine) with an ICL-like trajectory/keyframe rate.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the denominator
+used here is an ESTIMATED 2.0 refinement steps/sec for the reference stack
+(PyTorch CNN fwd+bwd at 320x256 batch 1 + gradslam PointFusion step +
+chamferdist KNN against a multi-million-point map on a 2080-class GPU) —
+recorded in BASELINE.md. vs_baseline = value / 2.0.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+REFERENCE_STEPS_PER_SEC_ESTIMATE = 2.0
+
+
+def run_bench():
+    import jax
+
+    from e2eslam_tpu.config import (
+        default_config_path,
+        enable_compilation_cache,
+        load_yaml,
+    )
+    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+
+    enable_compilation_cache()
+    cfg = load_yaml(default_config_path())
+    cfg.DATA.name = "synthetic"
+    cfg.DATA.height, cfg.DATA.width = 256, 320
+    cfg.DATA.start = 0
+    cfg.DATA.dilation = 2
+    cfg.DEMO.sequence_length = 60
+    cfg.DEMO.frame_threshold = 0.03
+    cfg.OPTIMIZATION.refinement_steps = 3
+    cfg.LOSS.three3d_loss = True
+    # Perf knobs (approximation of the exact brute-force 3D loss; stride 1
+    # restores exact reference semantics at higher cost):
+    cfg.LOSS.three3d_query_stride = 8
+    cfg.LOSS.three3d_map_stride = 4
+
+    runner = OnlineAdaptation(cfg)
+
+    # Warmup: a short prefix with the SAME map capacity (so all jitted
+    # shapes match) compiles refine + both fuse variants; the timed run then
+    # measures steady-state execution.
+    warm_cfg = cfg.copy()
+    warm_cfg.DEMO.sequence_length = 6
+    warm_cfg.MODEL.map_capacity = runner.capacity
+    warm = OnlineAdaptation(warm_cfg)
+    warm.engine = runner.engine  # share compiled functions
+    warm.run(verbose=False)
+
+    result = runner.run(verbose=False)
+    return result
+
+
+def main():
+    result = run_bench()
+    value = result["steps_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "refine_steps_per_sec",
+                "value": round(value, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(value / REFERENCE_STEPS_PER_SEC_ESTIMATE, 3),
+                "detail": {
+                    "keyframes": result["num_keyframes"],
+                    "refine_steps": result["refine_steps"],
+                    "elapsed_s": round(result["elapsed_s"], 3),
+                    "mean_abs_rel": round(result["mean_abs_rel"], 5),
+                    "map_points": result["map_points"],
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

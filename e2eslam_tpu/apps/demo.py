@@ -1,0 +1,70 @@
+"""Demo: online adaptation with per-keyframe map snapshots for visualization.
+
+Equivalent of the reference's ``demo.py`` (class ``Demo``): the same
+keyframe-refine-fuse loop, but intermediate global maps are exported after
+every keyframe so the map growth can be animated (the reference's
+``plotly_map_update_visualization``, ``utils/advanced_vis.py:7-170`` — here
+a PLY per step plus an optional plotly figure of the final map).
+"""
+
+from __future__ import annotations
+
+import os
+
+from e2eslam_tpu.config import load_config
+from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+from e2eslam_tpu.viz.pointcloud_export import export_ply, plotly_figure
+
+
+class Demo(OnlineAdaptation):
+    """Online adaptation that snapshots the map after every keyframe fusion."""
+
+    def __init__(self, config, **kwargs):
+        super().__init__(config, **kwargs)
+        self.snapshots = []
+        original_fuse = self.engine.fuse_pair
+
+        def fuse_and_snapshot(state, pair, map_state, *, fuse_prev):
+            new_map = original_fuse(state, pair, map_state, fuse_prev=fuse_prev)
+            self.snapshots.append(new_map)
+            return new_map
+
+        self.engine.fuse_pair = fuse_and_snapshot
+
+    def run(self, *, verbose=None):
+        self.snapshots = []
+        result = super().run(verbose=verbose)
+        result["snapshots"] = self.snapshots
+        return result
+
+    def export_snapshots(self, out_dir: str, max_points: int = 50000):
+        os.makedirs(out_dir, exist_ok=True)
+        return [
+            export_ply(snap, os.path.join(out_dir, f"map_{i:03d}.ply"),
+                       max_points=max_points)
+            for i, snap in enumerate(self.snapshots)
+        ]
+
+
+def main(argv=None):
+    config = load_config(argv)
+    config.DEMO.sequence_length_refinement = config.DEMO.get(
+        "sequence_length_refinement", 2
+    )
+    demo = Demo(config)
+    result = demo.run()
+    out_dir = os.path.join(
+        config.DEBUG.get("plot_path") or ".", f"{config.SETTINGS.name}_demo"
+    )
+    paths = demo.export_snapshots(out_dir)
+    print(f"exported {len(paths)} map snapshots to {out_dir}")
+    fig = plotly_figure(result["map"])
+    if fig is not None:
+        fig.write_html(os.path.join(out_dir, "final_map.html"))
+        print("wrote final_map.html")
+    print(f"mean abs_rel: {result['mean_abs_rel']:.5f}")
+    return result
+
+
+if __name__ == "__main__":
+    main()

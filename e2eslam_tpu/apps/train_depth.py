@@ -1,0 +1,100 @@
+"""Development refinement harness (full loss zoo over dataset windows).
+
+Equivalent of the reference's ``train_depth.py`` (class ``Depth_Estimation``):
+for each dataset window, reconstruct the GT point cloud once with
+GT-odometry PointFusion, then run ``OPTIMIZATION.refinement_steps`` PFT
+steps with every enabled loss — the 3D losses (knn/chamfer/three3d) compare
+against the detached GT reconstruction. Supports DEBUG.early_stop /
+iter_stop like the reference (``train_depth.py:416-419``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2eslam_tpu.config import load_config
+from e2eslam_tpu.data.pipeline import load_batch, make_dataset
+from e2eslam_tpu.engine.refine import PairBatch, RefinementEngine
+from e2eslam_tpu.models.depth_net import init_depth_model, make_depth_model
+from e2eslam_tpu.slam.slam import PointFusion
+from e2eslam_tpu.viz.logging import ScalarLogger
+
+
+def train(config, *, dataset=None, max_windows=None, verbose=True):
+    frames = list(config.DATA.frames)
+    dataset = dataset if dataset is not None else make_dataset(
+        config, sequence_length=len(frames)
+    )
+    H, W = int(config.DATA.height), int(config.DATA.width)
+    model = make_depth_model(config)
+    params, batch_stats = init_depth_model(model, jax.random.key(0), H, W)
+    if config.MODEL.get("use_pretrained_models") and config.MODEL.get("load_depth_path"):
+        import os
+        from e2eslam_tpu.models.convert import load_torch_checkpoint
+
+        params, batch_stats = load_torch_checkpoint(
+            os.path.join(config.MODEL.load_depth_path, "depth.pth.tar"),
+            params, batch_stats,
+        )
+
+    capacity = len(frames) * H * W
+    engine = RefinementEngine(config, model, map_capacity=capacity)
+    state = engine.init_state(params, batch_stats, (len(frames), H, W))
+    gt_slam = PointFusion(odom="gt", sigma=float(config.MODEL.sigma))
+    logger = None
+    if config.SETTINGS.get("log_path"):
+        logger = ScalarLogger(config.SETTINGS.log_path, config.SETTINGS.name)
+
+    rng = jax.random.key(1)
+    n = len(dataset) if max_windows is None else min(len(dataset), max_windows)
+    all_metrics = []
+    global_step = 0
+    for it in range(n):
+        colors, gt_depths, intrinsics, poses, _ = load_batch(dataset, [it])
+        colors, gt_depths, poses, K = colors[0], gt_depths[0], poses[0], intrinsics[0]
+
+        # GT reconstruction (detached target for the 3D losses),
+        # reference train_depth.py:263-267.
+        gt_map, _ = gt_slam(colors, gt_depths, K, poses, capacity=capacity)
+        gt_map = jax.lax.stop_gradient(gt_map)
+
+        pair = PairBatch(colors=colors, gt_depths=gt_depths, intrinsics=K, poses=poses)
+        state = state._replace(step=jnp.zeros((), jnp.int32))
+        for rs in range(int(config.OPTIMIZATION.refinement_steps)):
+            rng, sub = jax.random.split(rng)
+            state, metrics = engine.refine_step(state, pair, gt_map, sub)
+            global_step += 1
+            if verbose and config.DEBUG.get("print_metrics"):
+                m = jax.device_get(metrics)
+                print(
+                    f"iter {it} refine_step {rs} loss {float(m['total_loss']):.5f} "
+                    f"abs_rel {float(m['abs_rel']):.5f} a1 {float(m['a1']):.5f}"
+                )
+            if logger is not None:
+                logger.log(
+                    global_step,
+                    {k: v for k, v in jax.device_get(metrics).items()
+                     if np.ndim(v) == 0},
+                )
+        all_metrics.append(jax.device_get(metrics))
+
+        if config.DEBUG.get("early_stop") and it >= int(config.DEBUG.get("iter_stop", 0)):
+            break
+
+    if logger is not None:
+        logger.close()
+    return {"state": state, "metrics": all_metrics}
+
+
+def main(argv=None):
+    config = load_config(argv)
+    out = train(config)
+    final = out["metrics"][-1]
+    print(f"final abs_rel {float(final['abs_rel']):.5f} a1 {float(final['a1']):.5f}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -106,4 +106,27 @@ def load_config(argv=None) -> Config:
     args = arguments(argv)
     config = load_yaml(args["config_path"])
     config.SETTINGS.name = args["name"]
+    enable_compilation_cache()
     return config
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Turn on the persistent XLA compilation cache.
+
+    The flagship refinement step is a large XLA program (CNN fwd+bwd + view
+    synthesis + Pallas KNN + fusion); first compilation takes minutes on the
+    tunneled TPU. Caching it on disk makes every later run start in seconds.
+    """
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+        )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these flags

@@ -52,6 +52,17 @@ def grid_sample(
     x = _unnormalize(grid[..., 0], W, align_corners)
     y = _unnormalize(grid[..., 1], H, align_corners)
 
+    # Degenerate projections (points at/behind the camera) give +-inf/NaN
+    # coordinates; torch clips coordinates before computing weights (border:
+    # clip_coordinates; zeros: bounds checks in integer space), so no NaN ever
+    # reaches the output. Mirror that: sanitize, then clamp to a range that
+    # preserves in/out-of-bounds status.
+    x = jnp.clip(jnp.nan_to_num(x, nan=-2.0, posinf=W + 1.0, neginf=-2.0), -2.0, W + 1.0)
+    y = jnp.clip(jnp.nan_to_num(y, nan=-2.0, posinf=H + 1.0, neginf=-2.0), -2.0, H + 1.0)
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = x - x0

@@ -155,22 +155,36 @@ class _RGBDDiskDataset:
 
     def __getitem__(self, i: int):
         idxs = self.windows[i]
-        colors = np.stack(
-            [
-                _load_image(self.rgb_files[k], self.height, self.width, nearest=False)[
-                    ..., :3
-                ].astype(np.float32)
-                for k in idxs
-            ]
+        # Fast path: native C++ loader (libpng + thread pool), PIL fallback.
+        from e2eslam_tpu.data.native_loader import load_rgbd_batch
+
+        native = load_rgbd_batch(
+            [self.rgb_files[k] for k in idxs],
+            [self.depth_files[k] for k in idxs],
+            self.height,
+            self.width,
+            depth_scale=self.depth_scale,
         )
-        depths = np.stack(
-            [
-                _load_image(self.depth_files[k], self.height, self.width, nearest=True)
-                .astype(np.float32)[..., None]
-                / self.depth_scale
-                for k in idxs
-            ]
-        )
+        if native is not None:
+            colors, depths = native
+        else:
+            colors = np.stack(
+                [
+                    _load_image(
+                        self.rgb_files[k], self.height, self.width, nearest=False
+                    )[..., :3].astype(np.float32)
+                    for k in idxs
+                ]
+            )
+            depths = np.stack(
+                [
+                    _load_image(
+                        self.depth_files[k], self.height, self.width, nearest=True
+                    ).astype(np.float32)[..., None]
+                    / self.depth_scale
+                    for k in idxs
+                ]
+            )
         poses = self.poses[idxs].astype(np.float32)
         transforms = _poses_to_transforms(poses.astype(np.float64)).astype(np.float32)
         return colors, depths, self.intrinsics.copy(), poses, transforms

@@ -1,0 +1,144 @@
+"""Online adaptation: keyframe selection -> per-pair refinement -> fusion.
+
+The product workload (reference ``online_adaption.py`` class SLAM): stream a
+sequence, select keyframes by camera-center distance
+(``online_adaption.py:186-205``), run N refinement steps of the depth network
+per keyframe pair, then fuse the refined pair into the global point-cloud map
+with PointFusion. Returns the map and per-keyframe metrics.
+
+TPU execution model: the two jitted computations (refine step, fuse step)
+compile once; the keyframe scan is a host loop over device-resident state
+(~60 iterations, microseconds each). Metrics stay on device until the end of
+the run — no per-step host syncs unless verbose printing is requested.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from e2eslam_tpu.data.pipeline import load_batch, make_dataset
+from e2eslam_tpu.engine.refine import PairBatch, RefinementEngine, RefineState
+from e2eslam_tpu.models.depth_net import init_depth_model, make_depth_model
+from e2eslam_tpu.slam.pointclouds import empty_map
+
+
+def _camera_centers(poses: np.ndarray) -> np.ndarray:
+    R = poses[..., :3, :3]
+    t = poses[..., :3, 3]
+    return -np.einsum("...ij,...i->...j", R, t)
+
+
+class OnlineAdaptation:
+    """Config-driven online-adaptation runner."""
+
+    def __init__(self, config, *, dataset=None):
+        self.config = config
+        self.dataset = dataset if dataset is not None else make_dataset(config)
+        self.model = make_depth_model(config)
+
+        params, batch_stats = init_depth_model(
+            self.model, jax.random.key(0), config.DATA.height, config.DATA.width
+        )
+        if config.MODEL.get("use_pretrained_models") and config.MODEL.get(
+            "load_depth_path"
+        ):
+            from e2eslam_tpu.models.convert import load_torch_checkpoint
+            import os
+
+            path = os.path.join(config.MODEL.load_depth_path, "depth.pth.tar")
+            params, batch_stats = load_torch_checkpoint(path, params, batch_stats)
+
+        seq_len = int(config.DEMO.sequence_length)
+        H, W = int(config.DATA.height), int(config.DATA.width)
+        capacity = config.MODEL.get("map_capacity") or seq_len * H * W
+        self.capacity = int(capacity)
+        self.engine = RefinementEngine(config, self.model, map_capacity=self.capacity)
+        self.state = self.engine.init_state(params, batch_stats, (2, H, W))
+
+    def run(self, *, verbose: Optional[bool] = None) -> Dict:
+        cfg = self.config
+        if verbose is None:
+            verbose = bool(cfg.DEBUG.get("print_metrics", False))
+
+        colors, gt_depths, intrinsics, poses, _ = load_batch(self.dataset, [0])
+        colors, gt_depths, poses = colors[0], gt_depths[0], poses[0]
+        K = intrinsics[0]
+        seq_len = colors.shape[0]
+
+        centers = _camera_centers(np.asarray(poses))
+        threshold = float(cfg.DEMO.frame_threshold)
+        refinement_steps = int(cfg.OPTIMIZATION.refinement_steps)
+
+        global_map = empty_map(self.capacity)
+        state = self.state
+        rng = jax.random.key(1)
+        first_iter = True
+
+        keyframes: List[int] = []
+        per_pair_metrics: List[Dict] = []
+        prev = 0
+        t_start = time.perf_counter()
+        total_refine_steps = 0
+
+        for frame in range(1, seq_len):
+            if np.linalg.norm(centers[frame] - centers[prev]) <= threshold:
+                continue
+            pair = PairBatch(
+                colors=jnp.stack([colors[prev], colors[frame]]),
+                gt_depths=jnp.stack([gt_depths[prev], gt_depths[frame]]),
+                intrinsics=K,
+                poses=jnp.stack([poses[prev], poses[frame]]),
+            )
+            state = state._replace(step=jnp.zeros((), jnp.int32))
+            step_metrics = None
+            for _ in range(refinement_steps):
+                rng, sub = jax.random.split(rng)
+                state, step_metrics = self.engine.refine_step(
+                    state, pair, global_map, sub
+                )
+                total_refine_steps += 1
+                if verbose:
+                    m = jax.device_get(step_metrics)
+                    print(
+                        f"frame {frame} refine_step {int(state.step) - 1} "
+                        f"loss {float(m['total_loss']):.5f} "
+                        f"abs_rel {float(m['abs_rel']):.5f} "
+                        f"rmse {float(m['rmse']):.5f} a1 {float(m['a1']):.5f}"
+                    )
+            global_map = self.engine.fuse_pair(
+                state, pair, global_map, fuse_prev=first_iter
+            )
+            first_iter = False
+            keyframes.append(frame)
+            per_pair_metrics.append(step_metrics)  # device arrays (async)
+            prev = frame
+
+        # Single host sync at the end of the sequence.
+        per_pair_metrics = jax.device_get(per_pair_metrics)
+        elapsed = time.perf_counter() - t_start
+
+        abs_rels = [float(m["abs_rel"]) for m in per_pair_metrics]
+        result = {
+            "map": global_map,
+            "state": state,
+            "keyframes": keyframes,
+            "metrics": per_pair_metrics,
+            "mean_abs_rel": float(np.mean(abs_rels)) if abs_rels else float("nan"),
+            "num_keyframes": len(keyframes),
+            "refine_steps": total_refine_steps,
+            "elapsed_s": elapsed,
+            "steps_per_sec": total_refine_steps / elapsed if elapsed > 0 else 0.0,
+            "map_points": int(jax.device_get(global_map.count)),
+        }
+        if verbose:
+            print(
+                f"keyframes {len(keyframes)} mean abs_rel {result['mean_abs_rel']:.5f} "
+                f"map points {result['map_points']} "
+                f"refine steps/sec {result['steps_per_sec']:.2f}"
+            )
+        return result

@@ -1,0 +1,527 @@
+"""The shared refinement engine: one fully-jitted gradient step for every
+adaptation mode.
+
+The reference implements this five times over (``train_depth.py``,
+``online_adaption.py``, ``absolute_scale.py``, ``test_depth_scaling.py``,
+``train_depth_OFT.py`` each re-clone process_inputs / novel_view_synthesis /
+compute_losses). Here there is ONE loss assembly, specialized by mode:
+
+  * PFT  — gradients w.r.t. the depth-network parameters
+           (``online_adaption.py:369-386``, the final system);
+  * OFT  — gradients w.r.t. the depth MAP tensor itself, network untouched
+           (``train_depth_OFT.py:279-282``; in JAX this is literally the same
+           loss with a different argnum — no autograd-through-CNN, ~10x
+           cheaper per step);
+  * SCALE — gradients w.r.t. a global affine depth scale only
+           (``absolute_scale.py:207-240``).
+
+TPU design notes:
+  * both (all) frames of a window go through the network in ONE batched
+    forward (the reference loops frame-by-frame at batch 1 — poor MXU
+    utilization);
+  * per-step metrics are returned as device scalars — no ``.item()`` host
+    syncs in the hot loop (the reference syncs every step,
+    ``online_adaption.py:304-318``);
+  * every loss gate is a Python-level config constant, so XLA compiles
+    exactly the losses that are enabled, nothing else.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from e2eslam_tpu.core.camera import inverse_intrinsics
+from e2eslam_tpu.core.depth import disp_to_depth, indoor_disp_to_depth
+from e2eslam_tpu.core.projection import backproject, project
+from e2eslam_tpu.core.sampling import grid_sample
+from e2eslam_tpu.core.se3 import se3_inverse, transform_points
+from e2eslam_tpu.engine.optim import make_optimizer
+from e2eslam_tpu.losses.metrics import depth_metrics
+from e2eslam_tpu.losses.photometric import photometric_loss
+from e2eslam_tpu.losses.points import knn_points_loss, chamfer_distance
+from e2eslam_tpu.losses.regularizers import (
+    depth_gt_loss,
+    depth_regularizer,
+    disparity_smoothness_loss,
+    geometric_consistency_loss,
+    sparse_sampling,
+)
+from e2eslam_tpu.slam.fusion import frame_pointcloud, pointfusion_step
+from e2eslam_tpu.slam.pointclouds import MapState
+from e2eslam_tpu.slam.rgbd import build_frame
+from e2eslam_tpu.slam.slam import PointFusion
+
+Array = jax.Array
+
+_mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+TARGET = 1  # target-frame index within a window (reference convention)
+
+
+class PairBatch(NamedTuple):
+    """One adaptation window (unbatched sequence of F frames)."""
+
+    colors: Array  # [F, H, W, 3] in [0, 1]
+    gt_depths: Array  # [F, H, W, 1]
+    intrinsics: Array  # [4, 4]
+    poses: Array  # [F, 4, 4]
+
+
+class RefineState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    initial_depths: Array  # [F, H, W, 1] captured at refine step 0
+    step: Array  # [] int32
+
+
+class RefinementEngine:
+    """Builds and owns the jitted step functions for one config + model."""
+
+    def __init__(self, config, model, *, map_capacity: int):
+        self.config = config
+        self.model = model
+        self.map_capacity = map_capacity
+        self.optimizer = make_optimizer(config)
+        self.slam = PointFusion(
+            odom=config.MODEL.odom,
+            dist_th=float(config.MODEL.dist_th),
+            angle_th=float(config.MODEL.angle_th),
+            sigma=float(config.MODEL.sigma),
+            numiters=int(config.MODEL.numiters),
+        )
+
+        self._pft_step = jax.jit(self._make_pft_step())
+        self._oft_step = jax.jit(self._make_oft_step())
+        self._scale_step = jax.jit(self._make_scale_step())
+        self._fuse_pair = jax.jit(
+            self._make_fuse_pair(), static_argnames=("fuse_prev",)
+        )
+        self._forward = jax.jit(self._forward_depths)
+
+    # ------------------------------------------------------------------
+    # building blocks
+    # ------------------------------------------------------------------
+    def _forward_depths(self, params, batch_stats, colors: Array):
+        """Batched depth forward for all F frames. Returns (disp, depth)."""
+        cfg = self.config
+        out = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, colors, train=False
+        )
+        disp = out[0].astype(jnp.float32)  # [F, H, W, 1] scale-0
+        if cfg.MODEL.depth_network == "indoor":
+            depth = indoor_disp_to_depth(disp)
+        else:
+            depth = disp_to_depth(
+                disp, float(cfg.DATA.min_depth), float(cfg.DATA.max_depth)
+            )
+        return disp, depth
+
+    def _apply_scaling(self, depth: Array, gt_depths: Array, scale_params=None):
+        """Depth scaling: learned affine > online median > constant."""
+        abl = self.config.ABLATION
+        if scale_params is not None:
+            depth = depth * scale_params["scale"]
+            if "bias" in scale_params:
+                depth = depth + scale_params["bias"]
+            return depth
+        if not abl.get("scaled_depth", False):
+            return depth
+        mode = abl.get("scaled_depth_mode", "online")
+        if mode == "online":
+            # reference online_adaption.py:295-298
+            ratio = jnp.median(gt_depths) / jnp.median(depth)
+            return depth * ratio
+        # constant mode (train_depth / test_depth_scaling): depth*s (+ b)
+        depth = depth * float(abl.scaling_depth)
+        if abl.get("with_bias", False):
+            depth = depth + float(abl.get("scaling_bias", 0.0))
+        return depth
+
+    def _view_synthesis(self, pair: PairBatch, depth: Array):
+        """Warp each source frame into the target view. Returns outputs dict."""
+        cfg = self.config
+        K = pair.intrinsics[None]
+        target_depth = depth[TARGET][None]
+        cam_points = backproject(target_depth, inverse_intrinsics(K))
+
+        outputs = {}
+        F = pair.colors.shape[0]
+        for src in [i for i in range(F) if i != TARGET]:
+            # target-cam -> source-cam transform from gt poses.
+            T = (_mm(se3_inverse(pair.poses[src]), pair.poses[TARGET]))[None]
+            if cfg.LOSS.geometric:
+                grid, warped_depth, valid = project(cam_points, K, T, return_depth=True)
+                outputs[("warped_depth", src)] = warped_depth
+                interp = grid_sample(
+                    depth[src][None], grid,
+                    padding_mode=cfg.MODEL.padding_mode, align_corners=False,
+                )
+                outputs[("interpolated_depth", src)] = interp
+                synth = grid_sample(
+                    pair.colors[src][None], grid,
+                    padding_mode=cfg.MODEL.padding_mode, align_corners=True,
+                )
+            else:
+                grid, valid = project(cam_points, K, T)
+                synth = grid_sample(
+                    pair.colors[src][None], grid,
+                    padding_mode=cfg.MODEL.padding_mode, align_corners=False,
+                )
+            outputs[("synthesized_frame", src)] = synth
+            outputs[("valid_mask", src)] = valid
+        return outputs
+
+    def _assemble_losses(
+        self,
+        pair: PairBatch,
+        disp: Array,
+        depth: Array,
+        outputs: Dict,
+        map_state: Optional[MapState],
+        initial_depths: Array,
+        rng: Array,
+    ) -> Tuple[Array, Dict[str, Array]]:
+        cfg = self.config
+        L = cfg.LOSS
+        F = pair.colors.shape[0]
+        sources = [i for i in range(F) if i != TARGET]
+        target_frame = pair.colors[TARGET][None]
+        aux: Dict[str, Array] = {}
+
+        # -- photometric (optionally masked, auto-masked, min-reprojection) -
+        photometric_maps = []
+        for src in sources:
+            synth = outputs[("synthesized_frame", src)]
+            if L.photometric_mask:
+                mask = outputs[("valid_mask", src)]
+                pm = photometric_loss(synth * mask, target_frame * mask)
+            else:
+                pm = photometric_loss(synth, target_frame)
+            photometric_maps.append(pm)
+        photometric = jnp.concatenate(photometric_maps, axis=-1)  # [1,H,W,S]
+        if not L.min_reprojection:
+            photometric = jnp.mean(photometric, axis=-1, keepdims=True)
+
+        if L.auto_masking:
+            identity_maps = []
+            for src in sources:
+                source_frame = pair.colors[src][None]
+                if L.photometric_mask:
+                    mask = outputs[("valid_mask", src)]
+                    am = photometric_loss(source_frame * mask, target_frame * mask)
+                else:
+                    am = photometric_loss(source_frame, target_frame)
+                identity_maps.append(am)
+            identity = jnp.concatenate(identity_maps, axis=-1)
+            if L.min_reprojection:
+                rng, sub = jax.random.split(rng)
+                identity = identity + jax.random.normal(sub, identity.shape) * 1e-5
+            else:
+                identity = jnp.mean(identity, axis=-1, keepdims=True)
+            photometric = jnp.concatenate([identity, photometric], axis=-1)
+
+        if photometric.shape[-1] == 1:
+            optimize = jnp.mean(photometric)
+        else:
+            optimize = jnp.mean(jnp.min(photometric, axis=-1))
+        loss = optimize
+        aux["photometric"] = optimize
+
+        # -- geometric consistency ----------------------------------------
+        if L.geometric:
+            geo = jnp.mean(
+                jnp.stack(
+                    [
+                        geometric_consistency_loss(
+                            outputs[("warped_depth", s)],
+                            outputs[("interpolated_depth", s)],
+                            outputs[("valid_mask", s)],
+                        )
+                        for s in sources
+                    ]
+                )
+            )
+            loss = loss + geo * float(L.geometric_weight)
+            aux["geometric"] = geo
+
+        # -- smoothness (on source-frame disparity; reference quirk kept:
+        #    image edges come from the TARGET frame, online_adaption.py:600-608)
+        if L.smoothness:
+            d0 = disp[0][None]
+            norm_disp = d0 / (jnp.mean(d0, axis=(1, 2), keepdims=True) + 1e-7)
+            smooth = disparity_smoothness_loss(norm_disp, target_frame)
+            loss = loss + smooth * float(L.smoothness_weight)
+            aux["smoothness"] = smooth
+
+        # -- depth regularizer ---------------------------------------------
+        if L.depth_regularizer:
+            reg = depth_regularizer(
+                initial_depths, depth, str(L.depth_regularizer_type)
+            )
+            loss = loss + reg * float(L.depth_regularizer_weight)
+            aux["depth_reg"] = reg
+
+        # -- sparse GT supervision ------------------------------------------
+        if L.supervise_depth:
+            rng, sub = jax.random.split(rng)
+            gt_loss = 0.0
+            for f in range(F):
+                sub, k = jax.random.split(sub)
+                sparse_gt, mask = sparse_sampling(
+                    k, pair.gt_depths[f], float(L.sampling_prob), str(L.sampling_type)
+                )
+                gt_loss = gt_loss + depth_gt_loss(depth[f], sparse_gt, mask)
+            loss = loss + gt_loss * float(L.gt_depth_weight)
+            aux["gt_depth"] = gt_loss
+
+        # -- end-to-end 3D point supervision --------------------------------
+        if (L.three3d_loss or L.knn_points or L.chamfer_distance) and map_state is not None:
+            frame = build_frame(
+                pair.colors[TARGET], depth[TARGET], pair.intrinsics,
+                pair.poses[TARGET],
+            )
+            live = frame_pointcloud(frame)
+            stride = int(L.get("three3d_query_stride", 1))
+            pts = live.points[::stride]
+            msk = live.mask[::stride]
+            # reference compute_3d_loss: transform the target cloud by the
+            # target->source transform, then KNN against the DETACHED map.
+            T_rel = _mm(se3_inverse(pair.poses[0]), pair.poses[TARGET])
+            pts = transform_points(T_rel, pts)
+            # Optional map subsampling (perf knob; stride 1 = exact reference
+            # semantics). The buffer is prefix-packed, so a strided view stays
+            # prefix-packed with ceil(count / stride) valid entries.
+            mstride = int(L.get("three3d_map_stride", 1))
+            map_pts = jax.lax.stop_gradient(map_state.points[::mstride])
+            map_count = -(-map_state.count // mstride) if mstride > 1 else map_state.count
+            # Empty-map gate: the reference skips the 3D loss on the first
+            # keyframe (``first_iter``, online_adaption.py:535); here the gate
+            # is a multiply so the jitted step handles both cases.
+            gate = (map_state.count > 0).astype(jnp.float32)
+            if L.three3d_loss or L.knn_points:
+                _, idx = knn_points_loss(map_pts, pts, n_gt=map_count)
+                nn = jnp.take(map_pts, idx, axis=0)
+                d2 = jnp.sum((pts - nn) ** 2, axis=-1) * msk
+                knn_l = gate * jnp.sum(d2) / jnp.maximum(jnp.sum(msk), 1.0)
+                w = float(L.three3d_loss_weight) if L.three3d_loss else float(
+                    L.knn_points_weight
+                )
+                loss = loss + knn_l * w
+                aux["three3d"] = knn_l
+            if L.chamfer_distance:
+                ch = gate * chamfer_distance(
+                    pts, map_pts, n_b=map_count, bidirectional=True
+                )
+                loss = loss + 0.5 * ch * float(L.chamfer_weight)
+                aux["chamfer"] = ch
+
+        return loss, aux
+
+    # ------------------------------------------------------------------
+    # PFT step
+    # ------------------------------------------------------------------
+    def _bn_mask(self, params):
+        """0/1 mask pytree: freeze batch-norm params in refinement mode."""
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        treedef = jax.tree_util.tree_structure(params)
+        leaves = []
+        for keypath, leaf in flat:
+            path = "/".join(
+                k.key if hasattr(k, "key") else str(k) for k in keypath
+            )
+            frozen = "bn" in path or "downsample_bn" in path
+            leaves.append(jnp.zeros_like(leaf) if frozen else jnp.ones_like(leaf))
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def _make_pft_step(self):
+        cfg = self.config
+
+        def step(state: RefineState, pair: PairBatch, map_state: MapState, rng):
+            def loss_fn(params):
+                disp, depth = self._forward_depths(
+                    params, state.batch_stats, pair.colors
+                )
+                depth = self._apply_scaling(depth, pair.gt_depths)
+                # Initial depths for the drift regularizer, captured at step 0.
+                # Divergence from the reference (which snapshots PRE-scaling
+                # depth but compares against post-scaling predictions,
+                # online_adaption.py:284-298): we snapshot post-scaling so the
+                # regularizer compares like with like.
+                init = jnp.where(
+                    state.step == 0, jax.lax.stop_gradient(depth), state.initial_depths
+                )
+                outputs = self._view_synthesis(pair, depth)
+                loss, aux = self._assemble_losses(
+                    pair, disp, depth, outputs, map_state, init, rng
+                )
+                aux["depth"] = depth
+                aux["init"] = init
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            if cfg.MODEL.refinement_mode:
+                mask = self._bn_mask(state.params)
+                grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+
+            depth = aux.pop("depth")
+            init = aux.pop("init")
+            metrics = depth_metrics(
+                cfg.DATA.name, pair.gt_depths[TARGET], depth[TARGET]
+            )
+            metrics["total_loss"] = loss
+            metrics.update(aux)
+
+            new_state = RefineState(
+                params=params,
+                batch_stats=state.batch_stats,
+                opt_state=opt_state,
+                initial_depths=init,
+                step=state.step + 1,
+            )
+            return new_state, metrics
+
+        return step
+
+    # ------------------------------------------------------------------
+    # OFT step: optimize the depth maps directly (no grads through the CNN)
+    # ------------------------------------------------------------------
+    def _make_oft_step(self):
+        cfg = self.config
+
+        def step(depths, opt_state, initial_depths, pair: PairBatch,
+                 map_state: MapState, rng):
+            def loss_fn(d):
+                depth = self._apply_scaling(d, pair.gt_depths)
+                disp = 1.0 / jnp.maximum(depth, 1e-6)
+                outputs = self._view_synthesis(pair, depth)
+                loss, aux = self._assemble_losses(
+                    pair, disp, depth, outputs, map_state, initial_depths, rng
+                )
+                return loss, (aux, depth)
+
+            (loss, (aux, depth)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(depths)
+            updates, opt_state = self.optimizer.update(grads, opt_state, depths)
+            depths = optax.apply_updates(depths, updates)
+
+            metrics = depth_metrics(
+                cfg.DATA.name, pair.gt_depths[TARGET], depth[TARGET]
+            )
+            metrics["total_loss"] = loss
+            metrics.update(aux)
+            return depths, opt_state, metrics
+
+        return step
+
+    # ------------------------------------------------------------------
+    # SCALE step: optimize only a global affine depth scale (+bias)
+    # ------------------------------------------------------------------
+    def _make_scale_step(self):
+        cfg = self.config
+
+        def step(scale_params, opt_state, params, batch_stats,
+                 pair: PairBatch, map_state: MapState, rng):
+            disp, raw_depth = self._forward_depths(params, batch_stats, pair.colors)
+            raw_depth = jax.lax.stop_gradient(raw_depth)
+            disp = jax.lax.stop_gradient(disp)
+
+            def loss_fn(sp):
+                depth = self._apply_scaling(raw_depth, pair.gt_depths, scale_params=sp)
+                outputs = self._view_synthesis(pair, depth)
+                loss, aux = self._assemble_losses(
+                    pair, disp, depth, outputs, map_state, depth, rng
+                )
+                return loss, (aux, depth)
+
+            (loss, (aux, depth)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(scale_params)
+            updates, opt_state = self.optimizer.update(
+                grads, opt_state, scale_params
+            )
+            scale_params = optax.apply_updates(scale_params, updates)
+
+            metrics = depth_metrics(
+                cfg.DATA.name, pair.gt_depths[TARGET], depth[TARGET]
+            )
+            metrics["total_loss"] = loss
+            metrics.update(aux)
+            return scale_params, opt_state, metrics
+
+        return step
+
+    # ------------------------------------------------------------------
+    # fusion of a refined pair into the global map
+    # ------------------------------------------------------------------
+    def _make_fuse_pair(self):
+        cfg = self.config
+
+        def fuse(params, batch_stats, pair: PairBatch, map_state: MapState, *, fuse_prev: bool):
+            """reference create_refined_pointcloud (online_adaption.py:329-366)."""
+            _, depth = self._forward_depths(params, batch_stats, pair.colors)
+            depth = self._apply_scaling(depth, pair.gt_depths)
+
+            prev = build_frame(
+                pair.colors[0], depth[0], pair.intrinsics, pair.poses[0]
+            )
+            if fuse_prev:
+                map_state = pointfusion_step(
+                    map_state, prev,
+                    dist_th=self.slam.dist_th, angle_th=self.slam.angle_th,
+                    sigma=self.slam.sigma,
+                )
+            live = build_frame(
+                pair.colors[TARGET], depth[TARGET], pair.intrinsics,
+                pair.poses[TARGET],
+            )
+            map_state, _ = self.slam.step(map_state, live, prev)
+            return map_state
+
+        return fuse
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def init_state(self, params, batch_stats, pair_shape) -> RefineState:
+        F, H, W = pair_shape
+        return RefineState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.optimizer.init(params),
+            initial_depths=jnp.zeros((F, H, W, 1), jnp.float32),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    def refine_step(self, state, pair, map_state, rng):
+        return self._pft_step(state, pair, map_state, rng)
+
+    def oft_step(self, depths, opt_state, initial_depths, pair, map_state, rng):
+        return self._oft_step(depths, opt_state, initial_depths, pair, map_state, rng)
+
+    def scale_step(self, scale_params, opt_state, state, pair, map_state, rng):
+        return self._scale_step(
+            scale_params, opt_state, state.params, state.batch_stats,
+            pair, map_state, rng,
+        )
+
+    def fuse_pair(self, state, pair, map_state, *, fuse_prev: bool):
+        return self._fuse_pair(
+            state.params, state.batch_stats, pair, map_state, fuse_prev=fuse_prev
+        )
+
+    def predict_depth(self, state, colors):
+        """Inference forward (median_scaling / eval paths)."""
+        return self._forward(state.params, state.batch_stats, colors)

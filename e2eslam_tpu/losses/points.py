@@ -49,7 +49,14 @@ def knn_points_loss(
     Returns:
       (loss scalar, nn indices ``[Nq]`` int32 — already non-differentiable).
     """
-    _, idx = knn(query_points, gt_points, n_gt)
+    # The KNN search itself is non-differentiable (integral indices; the
+    # Pallas kernel has no JVP rule) — sever tangents at the call and
+    # recompute distances differentiably below.
+    _, idx = knn(
+        jax.lax.stop_gradient(query_points),
+        jax.lax.stop_gradient(gt_points),
+        n_gt,
+    )
     idx = jax.lax.stop_gradient(idx)
     nn_pts = jnp.take(gt_points, idx, axis=0)
     d2 = jnp.sum((query_points - nn_pts) ** 2, axis=-1)

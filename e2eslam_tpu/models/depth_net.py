@@ -119,6 +119,11 @@ def make_depth_model(config) -> nn.Module:
 
 def init_depth_model(model: nn.Module, rng: jax.Array, height: int, width: int):
     """Initialize variables; returns (params, batch_stats)."""
+    if height % 32 or width % 32:
+        raise ValueError(
+            f"depth networks need H, W divisible by 32 (U-Net skip alignment); "
+            f"got {height}x{width}"
+        )
     dummy = jnp.zeros((1, height, width, 3), jnp.float32)
     variables = model.init(rng, dummy, train=False)
     return variables["params"], variables.get("batch_stats", {})

@@ -1,0 +1,105 @@
+"""Device-mesh scaling for multi-sequence online adaptation.
+
+The reference is strictly single-device (no distributed code anywhere —
+SURVEY.md 2c); the natural TPU scaling axis for this workload is DATA
+parallelism over independent sequences: online adaptation of one sequence
+never communicates with another, so each chip carries its own adapting
+parameter copy, optimizer state, and global map shard-of-one. That maps to a
+1-D ``('data',)`` mesh with every leading-axis batch dimension sharded and
+ZERO collectives on the hot path — the ICI stays free for the (optional)
+cross-sequence metric reductions at the end of a run.
+
+All state (params, opt state, maps) carries a leading ``[n_seq]`` axis with
+``NamedSharding(mesh, P('data'))``; the per-sequence step is the engine's
+jitted step vmapped over that axis. XLA partitions everything chip-locally.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from e2eslam_tpu.engine.refine import PairBatch, RefinementEngine, RefineState
+from e2eslam_tpu.slam.pointclouds import MapState, empty_map
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]).reshape(n), (axis,))
+
+
+def shard_leading(mesh: Mesh, tree, axis: str = "data"):
+    """Place a pytree with leading batch axes as sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+class ParallelRefinement:
+    """N independent sequences adapting in lockstep, one per mesh slot."""
+
+    def __init__(self, config, model, *, map_capacity: int, mesh: Optional[Mesh] = None):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        self.engine = RefinementEngine(config, model, map_capacity=map_capacity)
+        self.map_capacity = map_capacity
+
+        data = NamedSharding(self.mesh, P("data"))
+
+        self._step = jax.jit(
+            jax.vmap(self.engine._make_pft_step()),
+            in_shardings=(data, data, data, data),
+            out_shardings=(data, data),
+        )
+        fuse = self.engine._make_fuse_pair()
+        self._fuse_true = jax.jit(
+            jax.vmap(lambda p, bs, pair, m: fuse(p, bs, pair, m, fuse_prev=True)),
+            in_shardings=(data, data, data, data),
+            out_shardings=data,
+        )
+        self._fuse_false = jax.jit(
+            jax.vmap(lambda p, bs, pair, m: fuse(p, bs, pair, m, fuse_prev=False)),
+            in_shardings=(data, data, data, data),
+            out_shardings=data,
+        )
+
+    def init_state(self, params, batch_stats, pair_shape) -> RefineState:
+        """Broadcast one parameter set to n per-sequence copies (sharded)."""
+        F, H, W = pair_shape
+        state = RefineState(
+            params=jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (self.n,) + x.shape), params
+            ),
+            batch_stats=jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (self.n,) + x.shape), batch_stats
+            ),
+            opt_state=jax.vmap(self.engine.optimizer.init)(
+                jax.tree_util.tree_map(
+                    lambda x: jnp.broadcast_to(x, (self.n,) + x.shape), params
+                )
+            ),
+            initial_depths=jnp.zeros((self.n, F, H, W, 1), jnp.float32),
+            step=jnp.zeros((self.n,), jnp.int32),
+        )
+        return shard_leading(self.mesh, state)
+
+    def init_maps(self) -> MapState:
+        maps = jax.vmap(lambda _: empty_map(self.map_capacity))(jnp.arange(self.n))
+        return shard_leading(self.mesh, maps)
+
+    def refine_step(self, state: RefineState, pairs: PairBatch, maps: MapState, rngs):
+        """One refinement step for all n sequences. pairs: leading [n] axis."""
+        return self._step(state, pairs, maps, rngs)
+
+    def fuse_pair(self, state: RefineState, pairs: PairBatch, maps: MapState, *, fuse_prev: bool):
+        fn = self._fuse_true if fuse_prev else self._fuse_false
+        return fn(state.params, state.batch_stats, pairs, maps)

@@ -1,0 +1,70 @@
+"""Scalar logging and gradient observability.
+
+Replaces the reference's tensorboardX backward-hook machinery
+(``train_depth.py:138-169`` and ``:865-917``): in JAX gradients are explicit
+values, so histograms are computed directly from the grad pytree — no hooks,
+no per-layer counter bookkeeping. Scalars land in a JSONL file (TensorBoard
+can be pointed at it via any converter; keeps us dependency-free) and
+optionally in tensorboardX when installed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+
+class ScalarLogger:
+    """Append-only JSONL scalar log, one line per step."""
+
+    def __init__(self, log_dir: str, name: str = "scalars"):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, f"{name}.jsonl")
+        self._fh = open(self.path, "a")
+        self._tb = None
+        try:
+            from tensorboardX import SummaryWriter  # optional
+
+            self._tb = SummaryWriter(log_dir)
+        except ImportError:
+            pass
+
+    def log(self, step: int, scalars: Dict[str, float], prefix: str = ""):
+        record = {"step": step, "time": time.time()}
+        for key, value in scalars.items():
+            name = f"{prefix}{key}"
+            record[name] = float(value)
+            if self._tb is not None:
+                self._tb.add_scalar(name, float(value), step)
+        self._fh.write(json.dumps(record) + "\n")
+        self._fh.flush()
+
+    def close(self):
+        self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def gradient_histograms(grads, *, bins: int = 64) -> Dict[str, Dict]:
+    """Per-layer histograms of a gradient pytree (host-side).
+
+    Returns {layer_path: {"hist": counts, "edges": edges, "norm": l2}} —
+    the data behind the reference's tensorboard gradient plots.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    out = {}
+    for keypath, leaf in flat:
+        path = "/".join(k.key if hasattr(k, "key") else str(k) for k in keypath)
+        arr = np.asarray(jax.device_get(leaf)).ravel()
+        hist, edges = np.histogram(arr, bins=bins)
+        out[path] = {
+            "hist": hist,
+            "edges": edges,
+            "norm": float(np.linalg.norm(arr)),
+        }
+    return out

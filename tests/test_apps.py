@@ -1,0 +1,99 @@
+"""App-level smoke + behavior tests on tiny synthetic configs."""
+
+import jax
+import numpy as np
+import pytest
+
+from e2eslam_tpu.config import load_yaml, default_config_path
+
+H = W = 64
+
+
+def tiny_config(**overrides):
+    cfg = load_yaml(default_config_path())
+    cfg.DATA.name = "synthetic"
+    cfg.DATA.height, cfg.DATA.width = H, W
+    cfg.DATA.start, cfg.DATA.dilation, cfg.DATA.stride = 0, 2, 2
+    cfg.DEMO.sequence_length = 5
+    cfg.DEMO.frame_threshold = 0.01
+    cfg.OPTIMIZATION.refinement_steps = 2
+    cfg.OPTIMIZATION.learning_rate = 1e-4
+    cfg.DEBUG.print_metrics = False
+    for key, value in overrides.items():
+        section, flag = key.split(".")
+        cfg[section][flag] = value
+    return cfg
+
+
+def test_online_adaption_end_to_end():
+    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+
+    cfg = tiny_config(**{"LOSS.three3d_loss": True})
+    result = OnlineAdaptation(cfg).run(verbose=False)
+    assert result["num_keyframes"] >= 2
+    assert result["map_points"] > H * W
+    assert np.isfinite(result["mean_abs_rel"])
+    assert result["steps_per_sec"] > 0
+
+
+def test_median_scaling():
+    from e2eslam_tpu.apps.median_scaling import find_median_scale
+
+    cfg = tiny_config()
+    scale = find_median_scale(cfg, max_windows=3)
+    assert np.isfinite(scale) and scale > 0
+    # Random indoor net emits disp in [0.01, 10.01] -> depth ~0.1-100;
+    # synthetic gt median ~2-4 m, so the ratio is a sane positive number.
+    assert 0.01 < scale < 100
+
+
+def test_train_depth_harness():
+    from e2eslam_tpu.apps.train_depth import train
+
+    cfg = tiny_config(**{"LOSS.knn_points": True, "LOSS.smoothness": True})
+    out = train(cfg, max_windows=1, verbose=False)
+    m = out["metrics"][-1]
+    assert np.isfinite(float(m["total_loss"]))
+
+
+def test_train_depth_oft():
+    from e2eslam_tpu.apps.train_depth_oft import train
+
+    cfg = tiny_config(**{"OPTIMIZATION.learning_rate": 1e-3})
+    out = train(cfg, max_windows=1, verbose=False)
+    assert np.isfinite(float(out["metrics"][-1]["total_loss"]))
+
+
+def test_absolute_scale_grid_search():
+    from e2eslam_tpu.apps.absolute_scale import train_scale
+
+    cfg = tiny_config(**{"OPTIMIZATION.learning_rate": 1e-2})
+    cfg.SCALE_GRID_SEARCH.grid = [0.5, 2.0]
+    out = train_scale(cfg, max_windows=1, verbose=False)
+    assert len(out["results"]) == 2
+    assert np.isfinite(out["best"]["final_loss"])
+
+
+def test_test_depth_scaling_eval():
+    from e2eslam_tpu.apps.test_depth_scaling import evaluate
+
+    cfg = tiny_config(**{"ABLATION.scaling_depth": 3.0, "ABLATION.with_bias": True,
+                         "ABLATION.scaling_bias": 0.1})
+    out = evaluate(cfg, max_windows=1, verbose=False)
+    assert np.isfinite(out["mean_abs_rel"])
+
+
+def test_gradient_experiments_recover():
+    from e2eslam_tpu.apps.gradient_experiments import recover_image
+
+    cfg = tiny_config(**{"OPTIMIZATION.learning_rate": 1e-2})
+    cfg.DATA.frames = [0, -1]
+    out = recover_image(cfg, num_steps=5, verbose=False)
+    assert out["final_loss"] < out["initial_loss"]
+
+
+def test_pose_checker():
+    from e2eslam_tpu.apps.pose_checker import check
+
+    cfg = tiny_config()
+    assert check(cfg, verbose=False) < 1e-4

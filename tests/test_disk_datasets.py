@@ -1,0 +1,119 @@
+"""Disk datasets (ICL/TUM formats) + the native C++ loader, against synthetic
+on-disk fixtures written with PIL."""
+
+import os
+
+import numpy as np
+import pytest
+
+from e2eslam_tpu.data.tumicl import ICLDataset, TUMDataset
+
+
+def _write_png_rgb(path, arr):
+    from PIL import Image
+
+    Image.fromarray(arr.astype(np.uint8), "RGB").save(path)
+
+
+def _write_png_depth16(path, arr_u16):
+    from PIL import Image
+
+    Image.fromarray(arr_u16.astype(np.uint16), "I;16").save(path)
+
+
+def _make_icl_fixture(root, n_frames=4, H=48, W=64):
+    traj = os.path.join(root, "living_room_traj1_frei_png")
+    os.makedirs(os.path.join(traj, "rgb"))
+    os.makedirs(os.path.join(traj, "depth"))
+    rng = np.random.default_rng(0)
+    colors, depths = [], []
+    for i in range(n_frames):
+        c = rng.integers(0, 255, (H, W, 3), np.uint8)
+        d = rng.integers(500, 20000, (H, W), np.uint16)  # /5000 -> 0.1..4 m
+        _write_png_rgb(os.path.join(traj, "rgb", f"{i}.png"), c)
+        _write_png_depth16(os.path.join(traj, "depth", f"{i}.png"), d)
+        colors.append(c)
+        depths.append(d)
+    with open(os.path.join(traj, "livingRoom1.gt.freiburg"), "w") as f:
+        for i in range(n_frames):
+            f.write(f"{i} {0.1*i} 0 0 0 0 0 1\n")
+    return traj, colors, depths
+
+
+def test_icl_dataset_native_roundtrip(tmp_path):
+    H, W = 48, 64
+    _, colors, depths = _make_icl_fixture(str(tmp_path), H=H, W=W)
+    ds = ICLDataset(basedir=str(tmp_path), seqlen=2, height=H, width=W)
+    assert len(ds) >= 1
+    c, d, K, poses, transforms = ds[0]
+    assert c.shape == (2, H, W, 3)
+    assert d.shape == (2, H, W, 1)
+    # native-size load: exact pixel values expected
+    np.testing.assert_allclose(c[0], colors[0].astype(np.float32), atol=1.0)
+    np.testing.assert_allclose(
+        d[0][..., 0], depths[0].astype(np.float32) / 5000.0, atol=1e-4
+    )
+    # poses from the freiburg file: translation 0.1*i
+    assert poses[1][0, 3] == pytest.approx(0.1, abs=1e-6)
+    # ICL intrinsics carry the negative fy convention
+    assert K[1, 1] < 0
+
+
+def test_icl_dataset_resized(tmp_path):
+    H, W = 48, 64
+    _make_icl_fixture(str(tmp_path), H=H, W=W)
+    ds = ICLDataset(basedir=str(tmp_path), seqlen=2, height=24, width=32)
+    c, d, K, _, _ = ds[0]
+    assert c.shape == (2, 24, 32, 3)
+    # intrinsics rescaled by 0.5
+    assert K[0, 0] == pytest.approx(481.20 * 32 / 64, rel=1e-5)
+
+
+def test_native_loader_matches_pil(tmp_path):
+    from e2eslam_tpu.data import native_loader
+
+    if not native_loader.native_available():
+        pytest.skip("native loader not built")
+    H, W = 48, 64
+    traj, colors, depths = _make_icl_fixture(str(tmp_path), H=H, W=W)
+    rgb = os.path.join(traj, "rgb", "0.png")
+    dep = os.path.join(traj, "depth", "0.png")
+    out = native_loader.load_rgbd_batch([rgb], [dep], H, W)
+    assert out is not None
+    c, d = out
+    np.testing.assert_allclose(c[0], colors[0].astype(np.float32), atol=1.0)
+    np.testing.assert_allclose(
+        d[0][..., 0], depths[0].astype(np.float32) / 5000.0, atol=1e-4
+    )
+
+
+def _make_tum_fixture(root, n_frames=4, H=48, W=64):
+    seq = os.path.join(root, "rgbd_dataset_freiburg1_test")
+    os.makedirs(os.path.join(seq, "rgb"))
+    os.makedirs(os.path.join(seq, "depth"))
+    rng = np.random.default_rng(1)
+    with open(os.path.join(seq, "rgb.txt"), "w") as fr, open(
+        os.path.join(seq, "depth.txt"), "w"
+    ) as fd, open(os.path.join(seq, "groundtruth.txt"), "w") as fg:
+        fg.write("# ground truth\n")
+        for i in range(n_frames):
+            t = 100.0 + i * 0.1
+            c = rng.integers(0, 255, (H, W, 3), np.uint8)
+            d = rng.integers(500, 20000, (H, W), np.uint16)
+            _write_png_rgb(os.path.join(seq, "rgb", f"{t:.4f}.png"), c)
+            _write_png_depth16(os.path.join(seq, "depth", f"{t:.4f}.png"), d)
+            fr.write(f"{t:.4f} rgb/{t:.4f}.png\n")
+            fd.write(f"{t + 0.005:.4f} depth/{t:.4f}.png\n")  # slight offset
+            fg.write(f"{t + 0.002:.4f} {0.05*i} 0 0 0 0 0 1\n")
+    return seq
+
+
+def test_tum_dataset_association(tmp_path):
+    H, W = 48, 64
+    _make_tum_fixture(str(tmp_path), H=H, W=W)
+    ds = TUMDataset(basedir=str(tmp_path), seqlen=2, height=H, width=W)
+    assert len(ds) >= 1
+    c, d, K, poses, _ = ds[0]
+    assert c.shape == (2, H, W, 3)
+    assert poses[1][0, 3] == pytest.approx(0.05, abs=1e-6)
+    assert K[0, 0] == pytest.approx(525.0 * W / W)

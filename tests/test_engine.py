@@ -1,0 +1,160 @@
+"""Engine tests: refinement reduces loss, OFT mode, scale mode, BN freezing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from e2eslam_tpu.config import load_yaml, default_config_path
+from e2eslam_tpu.data.synthetic import SyntheticDataset
+from e2eslam_tpu.engine.refine import PairBatch, RefinementEngine
+from e2eslam_tpu.models.depth_net import init_depth_model, make_depth_model
+from e2eslam_tpu.slam.pointclouds import empty_map
+from e2eslam_tpu.slam.slam import PointFusion
+
+H = W = 64
+
+
+def small_config(**overrides):
+    cfg = load_yaml(default_config_path())
+    cfg.DATA.name = "synthetic"
+    cfg.DATA.height, cfg.DATA.width = H, W
+    cfg.DATA.start, cfg.DATA.dilation = 0, 2
+    cfg.OPTIMIZATION.learning_rate = 1e-4
+    cfg.LOSS.three3d_loss = False
+    for key, value in overrides.items():
+        section, flag = key.split(".")
+        cfg[section][flag] = value
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def pair():
+    ds = SyntheticDataset(seqlen=2, height=H, width=W, dilation=3, total_frames=20)
+    colors, depths, K, poses, _ = ds[0]
+    return PairBatch(
+        colors=jnp.asarray(colors / 255.0),
+        gt_depths=jnp.asarray(depths),
+        intrinsics=jnp.asarray(K),
+        poses=jnp.asarray(poses),
+    )
+
+
+def _engine_and_state(cfg):
+    model = make_depth_model(cfg)
+    params, stats = init_depth_model(model, jax.random.key(0), H, W)
+    engine = RefinementEngine(cfg, model, map_capacity=2 * H * W)
+    state = engine.init_state(params, stats, (2, H, W))
+    return engine, state
+
+
+def test_pft_reduces_photometric_loss(pair):
+    cfg = small_config()
+    engine, state = _engine_and_state(cfg)
+    emap = empty_map(2 * H * W)
+    rng = jax.random.key(0)
+    losses = []
+    for _ in range(6):
+        rng, sub = jax.random.split(rng)
+        state, metrics = engine.refine_step(state, pair, emap, sub)
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < losses[0], losses
+    assert all(np.isfinite(losses))
+
+
+def test_pft_with_all_losses_enabled(pair):
+    cfg = small_config(**{
+        "LOSS.three3d_loss": True,
+        "LOSS.smoothness": True,
+        "LOSS.geometric": True,
+        "LOSS.depth_regularizer": True,
+        "LOSS.supervise_depth": True,
+        "LOSS.auto_masking": True,
+        "LOSS.chamfer_distance": True,
+    })
+    engine, state = _engine_and_state(cfg)
+    # Non-empty map so the 3D losses are live.
+    slam = PointFusion(odom="gt")
+    gmap, _ = slam(pair.colors, pair.gt_depths, pair.intrinsics, pair.poses,
+                   capacity=2 * H * W)
+    state, metrics = engine.refine_step(state, pair, gmap, jax.random.key(0))
+    for key in ("total_loss", "photometric", "three3d", "smoothness",
+                "geometric", "depth_reg", "gt_depth", "chamfer"):
+        assert np.isfinite(float(metrics[key])), key
+    assert float(metrics["three3d"]) > 0
+
+
+def test_empty_map_gates_3d_loss(pair):
+    cfg = small_config(**{"LOSS.three3d_loss": True})
+    engine, state = _engine_and_state(cfg)
+    emap = empty_map(2 * H * W)
+    state, metrics = engine.refine_step(state, pair, emap, jax.random.key(0))
+    assert float(metrics["three3d"]) == 0.0
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_bn_params_frozen_in_refinement_mode(pair):
+    cfg = small_config()
+    assert cfg.MODEL.refinement_mode
+    engine, state = _engine_and_state(cfg)
+    emap = empty_map(2 * H * W)
+    before = state.params
+    state, _ = engine.refine_step(state, pair, emap, jax.random.key(0))
+
+    def bn_diff(path, a, b):
+        return float(jnp.abs(a - b).max())
+
+    flat_a = jax.tree_util.tree_flatten_with_path(before)[0]
+    flat_b = jax.tree_util.tree_leaves(state.params)
+    changed_conv = frozen_ok = True
+    for (keypath, a), b in zip(flat_a, flat_b):
+        path = "/".join(k.key if hasattr(k, "key") else str(k) for k in keypath)
+        delta = float(jnp.abs(a - b).max())
+        if "bn" in path:
+            frozen_ok &= delta == 0.0
+    assert frozen_ok
+
+
+def test_oft_step_runs_and_descends(pair):
+    cfg = small_config(**{"OPTIMIZATION.learning_rate": 1e-3})
+    engine, state = _engine_and_state(cfg)
+    emap = empty_map(2 * H * W)
+    _, depths = engine.predict_depth(state, pair.colors)
+    depths = jax.lax.stop_gradient(depths)
+    init = depths
+    opt_state = engine.optimizer.init(depths)
+    losses = []
+    for i in range(5):
+        depths, opt_state, metrics = engine.oft_step(
+            depths, opt_state, init, pair, emap, jax.random.key(i)
+        )
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_scale_step_moves_scale(pair):
+    cfg = small_config(**{"ABLATION.scaled_depth": False,
+                          "OPTIMIZATION.learning_rate": 1e-2})
+    engine, state = _engine_and_state(cfg)
+    emap = empty_map(2 * H * W)
+    scale_params = {"scale": jnp.asarray(0.5)}
+    opt_state = engine.optimizer.init(scale_params)
+    first = None
+    for i in range(5):
+        scale_params, opt_state, metrics = engine.scale_step(
+            scale_params, opt_state, state, pair, emap, jax.random.key(i)
+        )
+        if first is None:
+            first = float(metrics["total_loss"])
+    assert float(scale_params["scale"]) != 0.5
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_fuse_pair_builds_map(pair):
+    cfg = small_config()
+    engine, state = _engine_and_state(cfg)
+    emap = empty_map(4 * H * W)
+    gmap = engine.fuse_pair(state, pair, emap, fuse_prev=True)
+    assert int(gmap.count) > H * W  # both frames contributed
+    gmap2 = engine.fuse_pair(state, pair, gmap, fuse_prev=False)
+    assert int(gmap2.count) >= int(gmap.count)
