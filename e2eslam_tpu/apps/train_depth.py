@@ -42,6 +42,24 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
     capacity = len(frames) * H * W
     engine = RefinementEngine(config, model, map_capacity=capacity)
     state = engine.init_state(params, batch_stats, (len(frames), H, W))
+
+    # Native checkpoint resume: params/stats always; optimizer state behind
+    # OPTIMIZATION.load_optimizer (reference train_depth.py:849-863).
+    if config.MODEL.get("restore_checkpoint"):
+        from e2eslam_tpu.checkpoint import load_checkpoint
+
+        want_opt = bool(config.OPTIMIZATION.get("load_optimizer", False))
+        params, batch_stats, opt_state, _ = load_checkpoint(
+            config.MODEL.restore_checkpoint,
+            state.params,
+            state.batch_stats,
+            state.opt_state if want_opt else None,
+        )
+        state = state._replace(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state if want_opt else state.opt_state,
+        )
     gt_slam = PointFusion(odom="gt", sigma=float(config.MODEL.sigma))
     logger = None
     if config.SETTINGS.get("log_path"):
@@ -85,6 +103,25 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
 
     if logger is not None:
         logger.close()
+
+    # Save the adapted model + optimizer state (the reference never
+    # implemented saving — an acknowledged TODO at train_depth.py:847).
+    if config.SETTINGS.get("log_path"):
+        import os
+        from e2eslam_tpu.checkpoint import save_checkpoint
+
+        ckpt_dir = os.path.join(
+            config.SETTINGS.log_path, f"{config.SETTINGS.name}_ckpt"
+        )
+        save_checkpoint(
+            ckpt_dir,
+            state.params,
+            state.batch_stats,
+            state.opt_state,
+            meta={"global_step": global_step},
+        )
+        print("checkpoint saved to", ckpt_dir)
+
     return {"state": state, "metrics": all_metrics}
 
 

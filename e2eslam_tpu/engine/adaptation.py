@@ -52,6 +52,12 @@ class OnlineAdaptation:
 
             path = os.path.join(config.MODEL.load_depth_path, "depth.pth.tar")
             params, batch_stats = load_torch_checkpoint(path, params, batch_stats)
+        if config.MODEL.get("restore_checkpoint"):
+            from e2eslam_tpu.checkpoint import load_checkpoint
+
+            params, batch_stats, _, _ = load_checkpoint(
+                config.MODEL.restore_checkpoint, params, batch_stats
+            )
 
         seq_len = int(config.DEMO.sequence_length)
         H, W = int(config.DATA.height), int(config.DATA.width)
@@ -75,13 +81,25 @@ class OnlineAdaptation:
         refinement_steps = int(cfg.OPTIMIZATION.refinement_steps)
 
         global_map = empty_map(self.capacity)
-        state = self.state
+        # The jitted steps donate their state/map inputs (buffer reuse);
+        # start from a copy so self.state survives repeated run() calls.
+        state = jax.tree_util.tree_map(jnp.copy, self.state)
         rng = jax.random.key(1)
         first_iter = True
 
         keyframes: List[int] = []
         per_pair_metrics: List[Dict] = []
         prev = 0
+        # Observability: optional jax.profiler trace of the whole adaptation
+        # loop (VIZ.profile_dir) and JSONL scalar logging (SETTINGS.log_path).
+        profile_dir = cfg.VIZ.get("profile_dir")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        logger = None
+        if cfg.SETTINGS.get("log_path"):
+            from e2eslam_tpu.viz.logging import ScalarLogger
+
+            logger = ScalarLogger(cfg.SETTINGS.log_path, cfg.SETTINGS.name)
         t_start = time.perf_counter()
         total_refine_steps = 0
 
@@ -121,6 +139,14 @@ class OnlineAdaptation:
         # Single host sync at the end of the sequence.
         per_pair_metrics = jax.device_get(per_pair_metrics)
         elapsed = time.perf_counter() - t_start
+        if profile_dir:
+            jax.profiler.stop_trace()
+        if logger is not None:
+            import numpy as _np
+
+            for i, m in enumerate(per_pair_metrics):
+                logger.log(i, {k: v for k, v in m.items() if _np.ndim(v) == 0})
+            logger.close()
 
         abs_rels = [float(m["abs_rel"]) for m in per_pair_metrics]
         result = {

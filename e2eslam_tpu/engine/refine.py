@@ -63,6 +63,23 @@ _mm = functools.partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 TARGET = 1  # target-frame index within a window (reference convention)
 
 
+def _merge_dual_disparity(left: Array, right: Array) -> Array:
+    """Blend forward/flipped disparities with edge ramps (monodepth2-style
+    post-processing).
+
+    The reference's mask (``train_depth.py:228-236``) ramps along HEIGHT due
+    to a ``torch.meshgrid`` default-indexing quirk; the intended monodepth2
+    behavior ramps along WIDTH (each prediction trusted away from its
+    occlusion border) — we implement the intended version.
+    """
+    W = left.shape[2]
+    x = jnp.linspace(0.0, 1.0, W).reshape(1, 1, W, 1)
+    l_mask = 1.0 - jnp.clip(20.0 * (x - 0.05), 0.0, 1.0)
+    r_mask = l_mask[:, :, ::-1, :]
+    middle = 0.5 * (left + right)
+    return r_mask * left + l_mask * right + (1.0 - l_mask - r_mask) * middle
+
+
 class PairBatch(NamedTuple):
     """One adaptation window (unbatched sequence of F frames)."""
 
@@ -96,11 +113,16 @@ class RefinementEngine:
             numiters=int(config.MODEL.numiters),
         )
 
-        self._pft_step = jax.jit(self._make_pft_step())
+        # Donation: the previous RefineState (params/opt/initial-depths) and
+        # the pre-fusion map are dead after each call — letting XLA reuse
+        # their HBM avoids copying the multi-million-point map every fusion.
+        self._pft_step = jax.jit(self._make_pft_step(), donate_argnums=(0,))
         self._oft_step = jax.jit(self._make_oft_step())
         self._scale_step = jax.jit(self._make_scale_step())
         self._fuse_pair = jax.jit(
-            self._make_fuse_pair(), static_argnames=("fuse_prev",)
+            self._make_fuse_pair(),
+            static_argnames=("fuse_prev",),
+            donate_argnums=(3,),
         )
         self._forward = jax.jit(self._forward_depths)
 
@@ -110,10 +132,22 @@ class RefinementEngine:
     def _forward_depths(self, params, batch_stats, colors: Array):
         """Batched depth forward for all F frames. Returns (disp, depth)."""
         cfg = self.config
-        out = self.model.apply(
-            {"params": params, "batch_stats": batch_stats}, colors, train=False
-        )
-        disp = out[0].astype(jnp.float32)  # [F, H, W, 1] scale-0
+        if cfg.ABLATION.get("dual_disparity", False):
+            # Flip augmentation at inference: run image + horizontal flip in
+            # one doubled batch and blend the two disparities
+            # (reference train_depth.py:224-237, :333-338).
+            doubled = jnp.concatenate([colors, colors[:, :, ::-1, :]], axis=0)
+            out = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, doubled, train=False
+            )
+            d = out[0].astype(jnp.float32)
+            F = colors.shape[0]
+            disp = _merge_dual_disparity(d[:F], d[F:][:, :, ::-1, :])
+        else:
+            out = self.model.apply(
+                {"params": params, "batch_stats": batch_stats}, colors, train=False
+            )
+            disp = out[0].astype(jnp.float32)  # [F, H, W, 1] scale-0
         if cfg.MODEL.depth_network == "indoor":
             depth = indoor_disp_to_depth(disp)
         else:
@@ -122,9 +156,13 @@ class RefinementEngine:
             )
         return disp, depth
 
-    def _apply_scaling(self, depth: Array, gt_depths: Array, scale_params=None):
-        """Depth scaling: learned affine > online median > constant."""
+    def _apply_scaling(self, depth: Array, gt_depths: Array, scale_params=None,
+                       intrinsics: Optional[Array] = None):
+        """Depth scaling: focal rescale, then learned affine > median > const."""
         abl = self.config.ABLATION
+        if abl.get("scale_intrinsics", False) and intrinsics is not None:
+            # CNN-SLAM-style focal rescaling (reference train_depth.py:317-325).
+            depth = depth * (intrinsics[0, 0] / float(abl.focal_pretrain))
         if scale_params is not None:
             depth = depth * scale_params["scale"]
             if "bias" in scale_params:
@@ -143,18 +181,53 @@ class RefinementEngine:
             depth = depth + float(abl.get("scaling_bias", 0.0))
         return depth
 
+    def _source_transform(self, pair: PairBatch, depth: Array, src: int) -> Array:
+        """target-cam -> source-cam transform: GT poses, or estimated by
+        differentiable ICP odometry when ``DATA.use_gt_pose`` is False (the
+        reference feeds SLAM-estimated poses back into view synthesis,
+        ``train_depth.py:373-385``)."""
+        cfg = self.config
+        if cfg.DATA.get("use_gt_pose", True):
+            return _mm(se3_inverse(pair.poses[src]), pair.poses[TARGET])
+
+        from e2eslam_tpu.core.projection import backproject as _bp
+        from e2eslam_tpu.slam.odometry import point_to_plane_icp
+        from e2eslam_tpu.slam.rgbd import normal_map
+
+        K = pair.intrinsics
+        tgt_cam = _bp(depth[TARGET][None], inverse_intrinsics(K)[None])[0]
+        src_cam = _bp(depth[src][None], inverse_intrinsics(K)[None])[0]
+        s = int(self.slam.icp_downsample)
+        return point_to_plane_icp(
+            tgt_cam[::s, ::s].reshape(-1, 3),
+            jnp.ones(tgt_cam[::s, ::s].shape[:2], depth.dtype).reshape(-1),
+            src_cam,
+            normal_map(src_cam),
+            jnp.ones(src_cam.shape[:2], depth.dtype),
+            K,
+            numiters=int(self.slam.numiters),
+            dist_th=float(self.slam.icp_dist_th),
+            soft=cfg.MODEL.odom == "gradicp",
+        )
+
     def _view_synthesis(self, pair: PairBatch, depth: Array):
         """Warp each source frame into the target view. Returns outputs dict."""
         cfg = self.config
-        K = pair.intrinsics[None]
+        K = pair.intrinsics
+        if cfg.MODEL.depth_network == "monodepth2" and cfg.DATA.get(
+            "normalize_intrinsics", False
+        ):
+            from e2eslam_tpu.core.camera import normalize_intrinsics
+
+            K = normalize_intrinsics(K)
+        K = K[None]
         target_depth = depth[TARGET][None]
         cam_points = backproject(target_depth, inverse_intrinsics(K))
 
         outputs = {}
         F = pair.colors.shape[0]
         for src in [i for i in range(F) if i != TARGET]:
-            # target-cam -> source-cam transform from gt poses.
-            T = (_mm(se3_inverse(pair.poses[src]), pair.poses[TARGET]))[None]
+            T = self._source_transform(pair, depth, src)[None]
             if cfg.LOSS.geometric:
                 grid, warped_depth, valid = project(cam_points, K, T, return_depth=True)
                 outputs[("warped_depth", src)] = warped_depth
@@ -347,7 +420,9 @@ class RefinementEngine:
                 disp, depth = self._forward_depths(
                     params, state.batch_stats, pair.colors
                 )
-                depth = self._apply_scaling(depth, pair.gt_depths)
+                depth = self._apply_scaling(
+                    depth, pair.gt_depths, intrinsics=pair.intrinsics
+                )
                 # Initial depths for the drift regularizer, captured at step 0.
                 # Divergence from the reference (which snapshots PRE-scaling
                 # depth but compares against post-scaling predictions,
@@ -403,7 +478,9 @@ class RefinementEngine:
         def step(depths, opt_state, initial_depths, pair: PairBatch,
                  map_state: MapState, rng):
             def loss_fn(d):
-                depth = self._apply_scaling(d, pair.gt_depths)
+                depth = self._apply_scaling(
+                    d, pair.gt_depths, intrinsics=pair.intrinsics
+                )
                 disp = 1.0 / jnp.maximum(depth, 1e-6)
                 outputs = self._view_synthesis(pair, depth)
                 loss, aux = self._assemble_losses(
@@ -439,7 +516,10 @@ class RefinementEngine:
             disp = jax.lax.stop_gradient(disp)
 
             def loss_fn(sp):
-                depth = self._apply_scaling(raw_depth, pair.gt_depths, scale_params=sp)
+                depth = self._apply_scaling(
+                    raw_depth, pair.gt_depths, scale_params=sp,
+                    intrinsics=pair.intrinsics,
+                )
                 outputs = self._view_synthesis(pair, depth)
                 loss, aux = self._assemble_losses(
                     pair, disp, depth, outputs, map_state, depth, rng
@@ -472,7 +552,9 @@ class RefinementEngine:
         def fuse(params, batch_stats, pair: PairBatch, map_state: MapState, *, fuse_prev: bool):
             """reference create_refined_pointcloud (online_adaption.py:329-366)."""
             _, depth = self._forward_depths(params, batch_stats, pair.colors)
-            depth = self._apply_scaling(depth, pair.gt_depths)
+            depth = self._apply_scaling(
+                depth, pair.gt_depths, intrinsics=pair.intrinsics
+            )
 
             prev = build_frame(
                 pair.colors[0], depth[0], pair.intrinsics, pair.poses[0]

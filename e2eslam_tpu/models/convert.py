@@ -109,6 +109,13 @@ def _torch_key(path: Tuple[str, ...], collection: str) -> str:
 def _convert_leaf(value: np.ndarray, leaf_name: str, target_shape) -> np.ndarray:
     if leaf_name == "kernel":
         value = np.transpose(value, (2, 3, 1, 0))
+        # Multi-image stem: replicate single-image conv1 weights across the
+        # stacked input channels and renormalize (reference
+        # ``resnet_multiimage_input``, networks.py:101).
+        tin, vin = target_shape[2], value.shape[2]
+        if tin != vin and tin % vin == 0 and value.shape[:2] == tuple(target_shape[:2]):
+            n = tin // vin
+            value = np.concatenate([value] * n, axis=2) / n
     if tuple(value.shape) != tuple(target_shape):
         raise ValueError(
             f"shape mismatch converting leaf: torch {value.shape} vs flax {tuple(target_shape)}"

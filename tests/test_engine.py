@@ -98,18 +98,16 @@ def test_bn_params_frozen_in_refinement_mode(pair):
     assert cfg.MODEL.refinement_mode
     engine, state = _engine_and_state(cfg)
     emap = empty_map(2 * H * W)
-    before = state.params
+    # refine_step donates its state input; snapshot to host first.
+    before = jax.device_get(state.params)
     state, _ = engine.refine_step(state, pair, emap, jax.random.key(0))
-
-    def bn_diff(path, a, b):
-        return float(jnp.abs(a - b).max())
 
     flat_a = jax.tree_util.tree_flatten_with_path(before)[0]
     flat_b = jax.tree_util.tree_leaves(state.params)
-    changed_conv = frozen_ok = True
+    frozen_ok = True
     for (keypath, a), b in zip(flat_a, flat_b):
         path = "/".join(k.key if hasattr(k, "key") else str(k) for k in keypath)
-        delta = float(jnp.abs(a - b).max())
+        delta = float(np.abs(np.asarray(a) - np.asarray(b)).max())
         if "bn" in path:
             frozen_ok &= delta == 0.0
     assert frozen_ok
@@ -155,6 +153,7 @@ def test_fuse_pair_builds_map(pair):
     engine, state = _engine_and_state(cfg)
     emap = empty_map(4 * H * W)
     gmap = engine.fuse_pair(state, pair, emap, fuse_prev=True)
-    assert int(gmap.count) > H * W  # both frames contributed
+    count1 = int(gmap.count)  # fuse_pair donates its map input; read first
+    assert count1 > H * W  # both frames contributed
     gmap2 = engine.fuse_pair(state, pair, gmap, fuse_prev=False)
-    assert int(gmap2.count) >= int(gmap.count)
+    assert int(gmap2.count) >= count1
