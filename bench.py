@@ -45,10 +45,11 @@ def run_bench():
     cfg.DEMO.frame_threshold = 0.03
     cfg.OPTIMIZATION.refinement_steps = 3
     cfg.LOSS.three3d_loss = True
-    # Perf knobs (approximation of the exact brute-force 3D loss; stride 1
-    # restores exact reference semantics at higher cost):
-    cfg.LOSS.three3d_query_stride = 8
-    cfg.LOSS.three3d_map_stride = 4
+    # Perf knobs: projective association replaces brute-force KNN for the 3D
+    # loss (O(N_map) scatter-min; see slam.fusion.projective_nn). Setting
+    # knn_impl: brute + strides 1/1 restores exact reference semantics.
+    cfg.LOSS.knn_impl = "projective"
+    cfg.LOSS.three3d_query_stride = 4
 
     runner = OnlineAdaptation(cfg)
 

@@ -92,7 +92,15 @@ def project(
     )  # [B, HW, 4]
     cam = _mm(pts_h, jnp.swapaxes(P, -1, -2))  # [B, HW, 3]
     z = cam[..., 2:3]
-    uv = cam[..., :2] / (z + EPS)
+    # Reference semantics: divide by (z + eps). A sign-preserving clamp keeps
+    # the DERIVATIVE of the divide bounded: without it, a point landing
+    # exactly on the camera plane makes the vjp 0 * inf = NaN (the downstream
+    # coordinate clip zeroes the cotangent, but the divide's derivative is
+    # inf), which poisons the whole gradient. Values only change for points
+    # within 10um of the plane — degenerate and masked invalid anyway.
+    denom = z + EPS
+    denom = jnp.where(denom >= 0, jnp.maximum(denom, 1e-5), jnp.minimum(denom, -1e-5))
+    uv = cam[..., :2] / denom
 
     wh = jnp.array([W - 1, H - 1], dtype=points.dtype)
     grid = (uv / wh - 0.5) * 2.0

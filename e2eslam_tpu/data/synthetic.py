@@ -18,6 +18,12 @@ from __future__ import annotations
 import numpy as np
 
 BOX = np.array([4.0, 3.0, 5.0])  # box extents (meters); interior scene
+# Interior spheres break the planar degeneracy of a bare box (tangential
+# motion along a wall is unobservable to geometry-only ICP).
+SPHERES = (
+    (np.array([1.4, 1.2, 3.4]), 0.45),
+    (np.array([2.7, 1.9, 3.9]), 0.35),
+)
 
 
 def _texture(X: np.ndarray) -> np.ndarray:
@@ -30,12 +36,18 @@ def _texture(X: np.ndarray) -> np.ndarray:
 
 
 def _pose(t: float) -> np.ndarray:
-    """Smooth trajectory inside the box: gentle arc + slow yaw. c2w [4,4]."""
+    """Smooth trajectory inside the box: gentle arc + slow yaw. c2w [4,4].
+
+    All coordinates are bounded oscillations so the camera stays strictly
+    inside the box for ANY frame index (an unbounded z-drift once walked the
+    camera through the far wall, making rays miss every face -> inf depth ->
+    NaN textures poisoning downstream training).
+    """
     C = np.array(
         [
             2.0 + 0.6 * np.sin(0.9 * t),
             1.5 + 0.10 * np.sin(1.3 * t),
-            1.0 + 0.35 * t,
+            2.5 + 1.7 * np.sin(0.21 * t),
         ]
     )
     yaw = 0.12 * np.sin(0.7 * t)
@@ -75,9 +87,28 @@ def _render(pose: np.ndarray, K: np.ndarray, height: int, width: int):
                     ok &= (hit[..., other] >= -1e-6) & (hit[..., other] <= BOX[other] + 1e-6)
             best_s = np.where(ok & (s < best_s), s, best_s)
 
+    # Interior spheres: smallest positive root of |C + s d - O|^2 = r^2.
+    for center, radius in SPHERES:
+        oc = C - center
+        b = np.sum(d_w * oc[None, None, :], axis=-1)
+        c0 = np.dot(oc, oc) - radius * radius
+        a = np.sum(d_w * d_w, axis=-1)
+        disc = b * b - a * c0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sq = np.sqrt(np.maximum(disc, 0.0))
+            s1 = (-b - sq) / a
+            s2 = (-b + sq) / a
+        s = np.where(s1 > 1e-6, s1, s2)
+        ok = (disc > 0) & (s > 1e-6)
+        best_s = np.where(ok & (s < best_s), s, best_s)
+
+    # Defensive clamp: a ray that misses every face (degenerate pose) gets a
+    # finite far depth instead of inf (keeps the pipeline NaN-free).
+    best_s = np.minimum(best_s, 100.0)
     hit = C[None, None, :] + best_s[..., None] * d_w
     color = _texture(hit)
     depth = best_s.astype(np.float32)[..., None]  # d_cam z == 1
+    assert np.isfinite(depth).all() and np.isfinite(color).all()
     return color.astype(np.float32), depth
 
 

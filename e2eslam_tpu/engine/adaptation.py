@@ -84,6 +84,40 @@ class OnlineAdaptation:
         # The jitted steps donate their state/map inputs (buffer reuse);
         # start from a copy so self.state survives repeated run() calls.
         state = jax.tree_util.tree_map(jnp.copy, self.state)
+
+        # Optional voxel-hash index accelerating the 3D loss's KNN
+        # (LOSS.knn_impl: voxel); rebuilt after every map update.
+        knn_impl = str(cfg.LOSS.get("knn_impl", "brute"))
+        voxel_size = float(cfg.LOSS.get("voxel_size", 0.1))
+        table_size = 1 << int(cfg.LOSS.get("voxel_table_pow", 20))
+
+        if knn_impl == "projective":
+            # Per-pair fixed data association: project the map onto the
+            # target keyframe once (GT-depth geometry) and reuse the nn image
+            # for all of the pair's refinement steps.
+            from e2eslam_tpu.slam.fusion import projective_nn
+            from e2eslam_tpu.slam.rgbd import build_frame
+
+            @jax.jit
+            def pair_index(m, pair):
+                frame = build_frame(
+                    pair.colors[1], pair.gt_depths[1], pair.intrinsics,
+                    pair.poses[1],
+                )
+                return projective_nn(m, frame)
+
+        def rebuild_index(m):
+            if knn_impl != "voxel":
+                return None
+            from e2eslam_tpu.ops.voxel_knn import build_voxel_index
+
+            return build_voxel_index(
+                m.points, m.count, voxel_size, table_size=table_size
+            )
+
+        # Build the (empty) index up front so the jitted step sees ONE pytree
+        # structure — avoids a second compilation when the index appears.
+        map_index = rebuild_index(global_map)
         rng = jax.random.key(1)
         first_iter = True
 
@@ -113,11 +147,13 @@ class OnlineAdaptation:
                 poses=jnp.stack([poses[prev], poses[frame]]),
             )
             state = state._replace(step=jnp.zeros((), jnp.int32))
+            if knn_impl == "projective":
+                map_index = pair_index(global_map, pair)
             step_metrics = None
             for _ in range(refinement_steps):
                 rng, sub = jax.random.split(rng)
                 state, step_metrics = self.engine.refine_step(
-                    state, pair, global_map, sub
+                    state, pair, global_map, sub, map_index=map_index
                 )
                 total_refine_steps += 1
                 if verbose:
@@ -131,6 +167,7 @@ class OnlineAdaptation:
             global_map = self.engine.fuse_pair(
                 state, pair, global_map, fuse_prev=first_iter
             )
+            map_index = rebuild_index(global_map)
             first_iter = False
             keyframes.append(frame)
             per_pair_metrics.append(step_metrics)  # device arrays (async)

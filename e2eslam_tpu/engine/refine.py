@@ -259,6 +259,7 @@ class RefinementEngine:
         map_state: Optional[MapState],
         initial_depths: Array,
         rng: Array,
+        map_index=None,
     ) -> Tuple[Array, Dict[str, Array]]:
         cfg = self.config
         L = cfg.LOSS
@@ -377,11 +378,50 @@ class RefinementEngine:
             # keyframe (``first_iter``, online_adaption.py:535); here the gate
             # is a multiply so the jitted step handles both cases.
             gate = (map_state.count > 0).astype(jnp.float32)
+            impl = str(L.get("knn_impl", "brute"))
+            use_voxel = impl == "voxel" and map_index is not None
             if L.three3d_loss or L.knn_points:
-                _, idx = knn_points_loss(map_pts, pts, n_gt=map_count)
-                nn = jnp.take(map_pts, idx, axis=0)
-                d2 = jnp.sum((pts - nn) ** 2, axis=-1) * msk
-                knn_l = gate * jnp.sum(d2) / jnp.maximum(jnp.sum(msk), 1.0)
+                if impl == "projective":
+                    # TPU-native O(N_map) association: project the map onto
+                    # the target frame instead of brute-force KNN (see
+                    # slam.fusion.projective_nn). The association (nn_idx,
+                    # found) is precomputed ONCE PER PAIR by the adaptation
+                    # loop (fixed data association across the pair's refine
+                    # steps); fall back to computing it in-place when absent.
+                    det_map = jax.tree_util.tree_map(
+                        jax.lax.stop_gradient, map_state
+                    )
+                    if map_index is not None:
+                        nn_idx, found = map_index
+                    else:
+                        from e2eslam_tpu.slam.fusion import projective_nn
+
+                        nn_idx, found = projective_nn(det_map, frame)
+                    nn_idx = jax.lax.stop_gradient(nn_idx[::stride])
+                    found = found[::stride]
+                    nn = jnp.take(det_map.points, nn_idx, axis=0)
+                    w3 = msk * found.astype(msk.dtype)
+                    d2 = jnp.sum((pts - nn) ** 2, axis=-1) * w3
+                    knn_l = gate * jnp.sum(d2) / jnp.maximum(jnp.sum(w3), 1.0)
+                elif use_voxel:
+                    from e2eslam_tpu.ops.voxel_knn import voxel_knn
+
+                    _, idx, found = voxel_knn(
+                        jax.lax.stop_gradient(pts),
+                        jax.lax.stop_gradient(map_index),
+                        max_per_voxel=int(L.get("voxel_max_per", 16)),
+                    )
+                    idx = jax.lax.stop_gradient(idx)
+                    full_map = jax.lax.stop_gradient(map_state.points)
+                    nn = jnp.take(full_map, idx, axis=0)
+                    w3 = msk * found.astype(msk.dtype)
+                    d2 = jnp.sum((pts - nn) ** 2, axis=-1) * w3
+                    knn_l = gate * jnp.sum(d2) / jnp.maximum(jnp.sum(w3), 1.0)
+                else:
+                    _, idx = knn_points_loss(map_pts, pts, n_gt=map_count)
+                    nn = jnp.take(map_pts, idx, axis=0)
+                    d2 = jnp.sum((pts - nn) ** 2, axis=-1) * msk
+                    knn_l = gate * jnp.sum(d2) / jnp.maximum(jnp.sum(msk), 1.0)
                 w = float(L.three3d_loss_weight) if L.three3d_loss else float(
                     L.knn_points_weight
                 )
@@ -415,7 +455,8 @@ class RefinementEngine:
     def _make_pft_step(self):
         cfg = self.config
 
-        def step(state: RefineState, pair: PairBatch, map_state: MapState, rng):
+        def step(state: RefineState, pair: PairBatch, map_state: MapState,
+                 map_index, rng):
             def loss_fn(params):
                 disp, depth = self._forward_depths(
                     params, state.batch_stats, pair.colors
@@ -433,7 +474,8 @@ class RefinementEngine:
                 )
                 outputs = self._view_synthesis(pair, depth)
                 loss, aux = self._assemble_losses(
-                    pair, disp, depth, outputs, map_state, init, rng
+                    pair, disp, depth, outputs, map_state, init, rng,
+                    map_index=map_index,
                 )
                 aux["depth"] = depth
                 aux["init"] = init
@@ -476,7 +518,7 @@ class RefinementEngine:
         cfg = self.config
 
         def step(depths, opt_state, initial_depths, pair: PairBatch,
-                 map_state: MapState, rng):
+                 map_state: MapState, map_index, rng):
             def loss_fn(d):
                 depth = self._apply_scaling(
                     d, pair.gt_depths, intrinsics=pair.intrinsics
@@ -484,7 +526,8 @@ class RefinementEngine:
                 disp = 1.0 / jnp.maximum(depth, 1e-6)
                 outputs = self._view_synthesis(pair, depth)
                 loss, aux = self._assemble_losses(
-                    pair, disp, depth, outputs, map_state, initial_depths, rng
+                    pair, disp, depth, outputs, map_state, initial_depths, rng,
+                    map_index=map_index,
                 )
                 return loss, (aux, depth)
 
@@ -522,7 +565,8 @@ class RefinementEngine:
                 )
                 outputs = self._view_synthesis(pair, depth)
                 loss, aux = self._assemble_losses(
-                    pair, disp, depth, outputs, map_state, depth, rng
+                    pair, disp, depth, outputs, map_state, depth, rng,
+                    map_index=None,
                 )
                 return loss, (aux, depth)
 
@@ -587,11 +631,14 @@ class RefinementEngine:
             step=jnp.zeros((), jnp.int32),
         )
 
-    def refine_step(self, state, pair, map_state, rng):
-        return self._pft_step(state, pair, map_state, rng)
+    def refine_step(self, state, pair, map_state, rng, map_index=None):
+        return self._pft_step(state, pair, map_state, map_index, rng)
 
-    def oft_step(self, depths, opt_state, initial_depths, pair, map_state, rng):
-        return self._oft_step(depths, opt_state, initial_depths, pair, map_state, rng)
+    def oft_step(self, depths, opt_state, initial_depths, pair, map_state, rng,
+                 map_index=None):
+        return self._oft_step(
+            depths, opt_state, initial_depths, pair, map_state, map_index, rng
+        )
 
     def scale_step(self, scale_params, opt_state, state, pair, map_state, rng):
         return self._scale_step(

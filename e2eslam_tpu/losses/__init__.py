@@ -14,6 +14,10 @@ from e2eslam_tpu.losses.points import (
     chamfer_distance,
 )
 from e2eslam_tpu.losses.metrics import depth_metrics, compute_depth_errors
+from e2eslam_tpu.losses.trajectory import (
+    absolute_trajectory_error,
+    relative_pose_error,
+)
 
 __all__ = [
     "ssim",
@@ -28,4 +32,6 @@ __all__ = [
     "chamfer_distance",
     "depth_metrics",
     "compute_depth_errors",
+    "absolute_trajectory_error",
+    "relative_pose_error",
 ]

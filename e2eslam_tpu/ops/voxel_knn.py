@@ -22,6 +22,10 @@ mask them out). Hash collisions only ADD candidates (never cause misses).
 
 This is an opt-in accelerator (``LOSS.knn_impl: voxel``); the default brute
 kernel keeps exact reference semantics.
+
+The index is a pytree of plain arrays (jit/vmap/donation friendly);
+``voxel_size`` rides along as an array scalar, the table size is recovered
+statically from ``bucket_start.shape``.
 """
 
 from __future__ import annotations
@@ -39,10 +43,9 @@ _PRIMES = (73856093, 19349663, 83492791)
 
 class VoxelIndex(NamedTuple):
     sorted_points: Array  # [N, 3] points ordered by bucket
-    sorted_to_orig: Array  # [N] original indices
-    bucket_start: Array  # [H + 1] offsets into sorted_points
-    voxel_size: float
-    table_size: int
+    sorted_to_orig: Array  # [N] original indices (int32)
+    bucket_start: Array  # [H + 1] offsets into sorted_points (int32)
+    voxel_size: Array  # [] float32
 
 
 def _hash_coords(ix: Array, iy: Array, iz: Array, table_size: int) -> Array:
@@ -50,33 +53,35 @@ def _hash_coords(ix: Array, iy: Array, iz: Array, table_size: int) -> Array:
     return (h & (table_size - 1)).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("voxel_size", "table_size"))
+@functools.partial(jax.jit, static_argnames=("table_size",))
 def build_voxel_index(
     points: Array,
     count,
+    voxel_size=0.1,
     *,
-    voxel_size: float = 0.1,
     table_size: int = 1 << 20,
 ) -> VoxelIndex:
     """Build the spatial hash over the first ``count`` rows of ``points``."""
     N = points.shape[0]
+    voxel_size = jnp.asarray(voxel_size, jnp.float32)
     coords = jnp.floor(points / voxel_size).astype(jnp.int32)
     h = _hash_coords(coords[:, 0], coords[:, 1], coords[:, 2], table_size)
-    # Invalid (beyond count) entries go to the last bucket's far end.
+    # Invalid (beyond count) entries go to the last bucket's far end; the
+    # probe clamps each bucket's extent so they are never visited as long as
+    # real points in that bucket come first (argsort is stable in index
+    # order, and invalid entries have the largest indices only by accident —
+    # so instead shift them past the table entirely).
     valid = jnp.arange(N) < count
-    h = jnp.where(valid, h, table_size - 1)
-    # Sort by bucket; invalid entries sort to the tail of the last bucket by
-    # a secondary key (index), which bucket_start clipping handles.
-    order = jnp.argsort(h)
-    sorted_h = jnp.take(h, order)
+    sort_key = jnp.where(valid, h, table_size)
+    order = jnp.argsort(sort_key)
+    sorted_key = jnp.take(sort_key, order)
     sorted_points = jnp.take(points, order, axis=0)
-    bucket_start = jnp.searchsorted(sorted_h, jnp.arange(table_size + 1))
+    bucket_start = jnp.searchsorted(sorted_key, jnp.arange(table_size + 1))
     return VoxelIndex(
         sorted_points=sorted_points,
         sorted_to_orig=order.astype(jnp.int32),
         bucket_start=bucket_start.astype(jnp.int32),
         voxel_size=voxel_size,
-        table_size=table_size,
     )
 
 
@@ -93,9 +98,8 @@ def voxel_knn(
     False when no candidate exists in the 27-voxel neighborhood; callers must
     mask those out (their dist/idx are arbitrary).
     """
-    v = index.voxel_size
-    H = index.table_size
-    qc = jnp.floor(query / v).astype(jnp.int32)  # [Nq, 3]
+    H = index.bucket_start.shape[0] - 1
+    qc = jnp.floor(query / index.voxel_size).astype(jnp.int32)  # [Nq, 3]
 
     best_d = jnp.full((query.shape[0],), jnp.inf, jnp.float32)
     best_i = jnp.zeros((query.shape[0],), jnp.int32)
@@ -124,3 +128,13 @@ def voxel_knn(
     found = jnp.isfinite(best_d)
     orig = jnp.take(index.sorted_to_orig, best_i)
     return jnp.where(found, best_d, 0.0), orig, found
+
+
+def empty_voxel_index(capacity: int, table_size: int = 1 << 20, voxel_size=0.1) -> VoxelIndex:
+    """An index over zero points (all buckets empty)."""
+    return VoxelIndex(
+        sorted_points=jnp.zeros((capacity, 3), jnp.float32),
+        sorted_to_orig=jnp.zeros((capacity,), jnp.int32),
+        bucket_start=jnp.zeros((table_size + 1,), jnp.int32),
+        voxel_size=jnp.asarray(voxel_size, jnp.float32),
+    )

@@ -55,8 +55,9 @@ class ParallelRefinement:
 
         data = NamedSharding(self.mesh, P("data"))
 
+        step = self.engine._make_pft_step()
         self._step = jax.jit(
-            jax.vmap(self.engine._make_pft_step()),
+            jax.vmap(lambda s, p, m, r: step(s, p, m, None, r)),
             in_shardings=(data, data, data, data),
             out_shardings=(data, data),
         )

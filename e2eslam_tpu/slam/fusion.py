@@ -25,7 +25,7 @@ depth network — which is what makes the end-to-end 3D loss possible.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,25 +67,27 @@ def _pixel_alpha(H: int, W: int, intrinsics: Array, sigma: float) -> Array:
     return jnp.exp(-gamma2 / (2.0 * sigma**2)).reshape(-1)
 
 
-def pointfusion_step(
+def _associate(
     state: MapState,
     frame: RGBDFrame,
+    live: FramePoints,
     *,
-    dist_th: float = 0.05,
-    angle_th: float = 20.0,
-    sigma: float = 0.6,
-) -> MapState:
-    """Fuse one live frame into the global map. Returns the new map state."""
+    dist_th: float,
+    angle_th: Optional[float],
+):
+    """Project map points into the frame and rank them per pixel.
+
+    Returns (pix [N], dist [N], best_idx [HW], winner [N]): each map point's
+    target pixel, its 3D distance to that pixel's live vertex, the per-pixel
+    best candidate map index (== N when none), and the per-map-point winner
+    mask (a bijection winner<->pixel by construction: scatter-min on distance
+    then deterministic index tie-break).
+    """
     H, W = frame.depth.shape[:2]
     HW = H * W
     N = state.points.shape[0]
     K = frame.intrinsics
-    dot_th = jnp.cos(jnp.deg2rad(angle_th))
 
-    live = frame_pointcloud(frame)
-    alpha = _pixel_alpha(H, W, K, sigma) * live.mask  # [HW]
-
-    # ---- 1. project map points into the live camera --------------------
     inv_pose = se3_inverse(frame.pose)
     p_cam = transform_points(inv_pose, state.points)  # [N, 3]
     z = p_cam[:, 2]
@@ -99,15 +101,15 @@ def pointfusion_step(
     in_frame = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (z > 0) & valid_idx
     pix = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)  # [N]
 
-    # ---- 2. similarity test against the live measurement ---------------
     v_live = jnp.take(live.points, pix, axis=0)  # [N, 3]
-    n_live = jnp.take(live.normals, pix, axis=0)
     m_live = jnp.take(live.mask, pix, axis=0)
     dist = jnp.linalg.norm(state.points - v_live, axis=-1)
-    ndot = jnp.sum(state.normals * n_live, axis=-1)
-    similar = in_frame & (m_live > 0) & (dist < dist_th) & (ndot > dot_th)
+    similar = in_frame & (m_live > 0) & (dist < dist_th)
+    if angle_th is not None:
+        n_live = jnp.take(live.normals, pix, axis=0)
+        ndot = jnp.sum(state.normals * n_live, axis=-1)
+        similar = similar & (ndot > jnp.cos(jnp.deg2rad(angle_th)))
 
-    # ---- 3. per-pixel best candidate (scatter-min, then index tiebreak) -
     big = jnp.float32(jnp.inf)
     dist_m = jnp.where(similar, dist, big)
     best_dist = jnp.full((HW,), big).at[pix].min(dist_m)
@@ -115,6 +117,51 @@ def pointfusion_step(
     idx_m = jnp.where(is_best, jnp.arange(N, dtype=jnp.int32), jnp.int32(N))
     best_idx = jnp.full((HW,), N, jnp.int32).at[pix].min(idx_m)
     winner = is_best & (jnp.arange(N, dtype=jnp.int32) == jnp.take(best_idx, pix))
+    return pix, dist, best_idx, winner
+
+
+def projective_nn(state: MapState, frame: RGBDFrame):
+    """Per-pixel (approximate) nearest map point by projective association.
+
+    The TPU-native accelerator for the 3D point loss: O(N_map) projection +
+    scatter-min instead of an O(N_map * N_query) brute-force KNN. For each
+    live pixel, returns the index of the closest map point that projects onto
+    it (no distance/normal thresholds) and a validity flag. Pixels no map
+    point projects onto are invalid — callers mask them out of the loss.
+
+    Returns (nn_idx [HW] int32 clipped to valid range, found [HW] bool).
+    """
+    live = frame_pointcloud(frame)
+    _, _, best_idx, _ = _associate(
+        state, frame, live, dist_th=jnp.inf, angle_th=None
+    )
+    N = state.points.shape[0]
+    found = best_idx < N
+    return jnp.minimum(best_idx, N - 1), found
+
+
+def pointfusion_step(
+    state: MapState,
+    frame: RGBDFrame,
+    *,
+    dist_th: float = 0.05,
+    angle_th: float = 20.0,
+    sigma: float = 0.6,
+) -> MapState:
+    """Fuse one live frame into the global map. Returns the new map state."""
+    H, W = frame.depth.shape[:2]
+    HW = H * W
+    N = state.points.shape[0]
+    K = frame.intrinsics
+
+    live = frame_pointcloud(frame)
+    alpha = _pixel_alpha(H, W, K, sigma) * live.mask  # [HW]
+
+    pix, dist, best_idx, winner = _associate(
+        state, frame, live, dist_th=dist_th, angle_th=angle_th
+    )
+    v_live = jnp.take(live.points, pix, axis=0)
+    n_live = jnp.take(live.normals, pix, axis=0)
 
     # ---- 4. confidence-weighted in-place fusion of winners --------------
     a = jnp.take(alpha, pix)  # [N] live confidence seen by each map point

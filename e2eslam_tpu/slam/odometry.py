@@ -114,8 +114,14 @@ def point_to_plane_icp(
             prev_frame_mask, intrinsics, dist_th,
         )
         JTJ, JTr, err = _normal_equations(p, n, r, w)
-        A = JTJ + (damping + lam) * jnp.eye(6, dtype=JTJ.dtype)
+        # Tikhonov floor scaled by the problem (keeps A well-conditioned even
+        # when few correspondences survive), plus the LM lambda.
+        tikhonov = damping + lam + 1e-6 * jnp.trace(JTJ) / 6.0
+        A = JTJ + tikhonov * jnp.eye(6, dtype=JTJ.dtype)
         xi = -jax.scipy.linalg.solve(A, JTr, assume_a="pos")
+        # With (near-)no correspondences the system is meaningless: hold pose.
+        enough = (jnp.sum(w) > 32.0) & jnp.all(jnp.isfinite(xi))
+        xi = jnp.where(enough, xi, 0.0)
 
         if not soft:
             return _mm(se3_exp(xi), T), lam

@@ -97,3 +97,24 @@ def test_pose_checker():
 
     cfg = tiny_config()
     assert check(cfg, verbose=False) < 1e-4
+
+
+def test_online_adaption_voxel_knn():
+    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+
+    cfg = tiny_config(**{"LOSS.three3d_loss": True, "LOSS.knn_impl": "voxel"})
+    cfg.LOSS.voxel_table_pow = 14
+    result = OnlineAdaptation(cfg).run(verbose=False)
+    assert result["num_keyframes"] >= 2
+    assert np.isfinite(result["mean_abs_rel"])
+
+
+def test_online_adaption_projective_knn():
+    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+
+    cfg = tiny_config(**{"LOSS.three3d_loss": True, "LOSS.knn_impl": "projective"})
+    result = OnlineAdaptation(cfg).run(verbose=False)
+    assert result["num_keyframes"] >= 2
+    assert np.isfinite(result["mean_abs_rel"])
+    # 3D loss must actually fire on non-first pairs
+    assert any(float(m["three3d"]) > 0 for m in result["metrics"][1:])

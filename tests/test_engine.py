@@ -157,3 +157,53 @@ def test_fuse_pair_builds_map(pair):
     assert count1 > H * W  # both frames contributed
     gmap2 = engine.fuse_pair(state, pair, gmap, fuse_prev=False)
     assert int(gmap2.count) >= count1
+
+
+def test_three_frame_window_min_reprojection():
+    """[0,-1,1]-style 3-frame window: two source frames, min-reprojection and
+    auto-masking across them."""
+    ds = SyntheticDataset(seqlen=3, height=H, width=W, dilation=3, total_frames=20)
+    colors, depths, K, poses, _ = ds[0]
+    pair3 = PairBatch(
+        colors=jnp.asarray(colors / 255.0),
+        gt_depths=jnp.asarray(depths),
+        intrinsics=jnp.asarray(K),
+        poses=jnp.asarray(poses),
+    )
+    cfg = small_config(**{
+        "LOSS.min_reprojection": True,
+        "LOSS.auto_masking": True,
+    })
+    cfg.DATA.frames = [0, -1, 1]
+    engine, state = _engine_and_state_frames(cfg, 3)
+    emap = empty_map(2 * H * W)
+    state, metrics = engine.refine_step(state, pair3, emap, jax.random.key(0))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+
+def _engine_and_state_frames(cfg, F):
+    model = make_depth_model(cfg)
+    params, stats = init_depth_model(model, jax.random.key(0), H, W)
+    engine = RefinementEngine(cfg, model, map_capacity=2 * H * W)
+    state = engine.init_state(params, stats, (F, H, W))
+    return engine, state
+
+
+def test_use_estimated_pose_mode():
+    """use_gt_pose=False: view-synthesis transform comes from differentiable
+    ICP; the step must run and produce finite loss/grads."""
+    ds = SyntheticDataset(seqlen=2, height=H, width=W, dilation=2, total_frames=20)
+    colors, depths, K, poses, _ = ds[0]
+    p = PairBatch(
+        colors=jnp.asarray(colors / 255.0),
+        gt_depths=jnp.asarray(depths),
+        intrinsics=jnp.asarray(K),
+        poses=jnp.asarray(poses),
+    )
+    cfg = small_config()
+    cfg.DATA.use_gt_pose = False
+    cfg.MODEL.numiters = 5
+    engine, state = _engine_and_state(cfg)
+    emap = empty_map(2 * H * W)
+    state, metrics = engine.refine_step(state, p, emap, jax.random.key(0))
+    assert np.isfinite(float(metrics["total_loss"]))

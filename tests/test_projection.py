@@ -119,3 +119,25 @@ def test_grid_sample_gradients_finite():
     g = jax.grad(f)(grid)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.max(jnp.abs(g))) > 0
+
+
+def test_projection_gradient_finite_at_camera_plane():
+    """Regression: a point exactly on the source camera plane must not
+    poison gradients (0 * inf = NaN through the perspective divide)."""
+    import jax
+
+    H, W = 8, 8
+    K = _K(50.0, 50.0, 4.0, 4.0)[None]
+    img = jnp.ones((1, H, W, 3))
+
+    def loss(depth):
+        pts = backproject(depth, inverse_intrinsics(K))
+        # transform that puts some points exactly at z' = 0
+        T = jnp.eye(4).at[2, 3].set(-2.0)[None]
+        grid, valid = project(pts, K, T)
+        synth = grid_sample(img, grid, padding_mode="border")
+        return jnp.sum(synth * valid)
+
+    depth = jnp.full((1, H, W), 2.0)  # z' = 2 - 2 = 0 exactly
+    g = jax.grad(loss)(depth)
+    assert np.all(np.isfinite(np.asarray(g)))

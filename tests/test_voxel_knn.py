@@ -19,7 +19,7 @@ def test_exact_when_nn_within_voxel():
     qi = rng.choice(5000, 256, replace=False)
     query = ref[qi] + rng.normal(scale=0.005, size=(256, 3)).astype(np.float32)
 
-    idx = build_voxel_index(jnp.asarray(ref), 5000, voxel_size=0.1, table_size=1 << 16)
+    idx = build_voxel_index(jnp.asarray(ref), 5000, 0.1, table_size=1 << 16)
     d, i, found = voxel_knn(jnp.asarray(query), idx, max_per_voxel=32)
     bd, bi = brute(query, ref)
     assert bool(np.all(np.asarray(found)))
@@ -35,7 +35,7 @@ def test_valid_count_masking():
     ref = rng.uniform(0, 1, (1000, 3)).astype(np.float32)
     ref[500:] = 0.5  # exact matches in the invalid tail
     query = np.full((10, 3), 0.5, np.float32) + 1e-4
-    idx = build_voxel_index(jnp.asarray(ref), 500, voxel_size=0.25, table_size=1 << 12)
+    idx = build_voxel_index(jnp.asarray(ref), 500, 0.25, table_size=1 << 12)
     d, i, found = voxel_knn(jnp.asarray(query), idx)
     assert np.all(np.asarray(i) < 500)
 
@@ -43,7 +43,7 @@ def test_valid_count_masking():
 def test_not_found_far_from_cloud():
     ref = np.zeros((100, 3), np.float32)
     query = np.full((5, 3), 100.0, np.float32)
-    idx = build_voxel_index(jnp.asarray(ref), 100, voxel_size=0.1, table_size=1 << 12)
+    idx = build_voxel_index(jnp.asarray(ref), 100, 0.1, table_size=1 << 12)
     d, i, found = voxel_knn(jnp.asarray(query), idx)
     assert not np.any(np.asarray(found))
     np.testing.assert_allclose(np.asarray(d), 0.0)
@@ -59,7 +59,7 @@ def test_dense_surface_approximation_quality():
     query = rng.uniform(0.1, 0.9, (500, 2)).astype(np.float32)
     query = np.concatenate([query, rng.uniform(0, 0.03, (500, 1)).astype(np.float32)], 1)
 
-    idx = build_voxel_index(jnp.asarray(ref), ref.shape[0], voxel_size=0.05,
+    idx = build_voxel_index(jnp.asarray(ref), ref.shape[0], 0.05,
                             table_size=1 << 16)
     d, i, found = voxel_knn(jnp.asarray(query), idx, max_per_voxel=16)
     bd, _ = brute(query, ref)
