@@ -19,10 +19,14 @@ import numpy as np
 
 BOX = np.array([4.0, 3.0, 5.0])  # box extents (meters); interior scene
 # Interior spheres break the planar degeneracy of a bare box (tangential
-# motion along a wall is unobservable to geometry-only ICP).
+# motion along a wall is unobservable to geometry-only ICP). Placed well
+# clear of the camera path (x in [1.4,2.6], y in [1.4,1.6], z in [0.8,4.2])
+# so the camera never grazes a surface (near-zero depths destabilize
+# training — observed as a quality collapse at the graze frames).
 SPHERES = (
-    (np.array([1.4, 1.2, 3.4]), 0.45),
-    (np.array([2.7, 1.9, 3.9]), 0.35),
+    (np.array([0.65, 0.65, 3.6]), 0.45),
+    (np.array([3.35, 2.35, 2.1]), 0.40),
+    (np.array([1.55, 0.55, 4.45]), 0.50),  # near the far wall, in early views
 )
 
 

@@ -122,7 +122,10 @@ def test_icpslam_appends(seq):
 def test_gradicp_recovers_pose():
     # Small inter-frame motion (projective ICP's operating regime — the
     # online system keyframes at 0.03-0.05 m).
-    ds = SyntheticDataset(seqlen=2, height=H, width=W, dilation=0, total_frames=10)
+    # Start where the motion is z-dominant (observable for geometric ICP on
+    # this mostly-planar scene: x-velocity ~ cos(0.9t) crosses 0 at idx ~22).
+    ds = SyntheticDataset(seqlen=2, height=H, width=W, dilation=0, start=22,
+                          total_frames=30)
     colors, depths, K, poses, _ = ds[0]
     f0 = build_frame(jnp.asarray(colors[0] / 255.0), jnp.asarray(depths[0]),
                      jnp.asarray(K), jnp.asarray(poses[0]))
@@ -159,7 +162,8 @@ def test_gradicp_full_sequence_trajectory(seq):
     from e2eslam_tpu.losses.trajectory import absolute_trajectory_error
     from e2eslam_tpu.slam import PointFusion as PF
 
-    ds = SyntheticDataset(seqlen=4, height=H, width=W, dilation=0, total_frames=10)
+    ds = SyntheticDataset(seqlen=4, height=H, width=W, dilation=0, start=22,
+                          total_frames=30)
     colors, depths, K, poses, _ = ds[0]
     colors = jnp.asarray(colors / 255.0)
     depths, K, poses = jnp.asarray(depths), jnp.asarray(K), jnp.asarray(poses)
