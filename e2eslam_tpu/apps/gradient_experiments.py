@@ -11,7 +11,6 @@ demonstrating end-to-end differentiability of the whole pipeline.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from e2eslam_tpu.config import load_config

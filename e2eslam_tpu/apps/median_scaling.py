@@ -15,7 +15,6 @@ import numpy as np
 
 from e2eslam_tpu.config import load_config
 from e2eslam_tpu.data.pipeline import load_batch, make_dataset
-from e2eslam_tpu.engine.refine import RefinementEngine
 from e2eslam_tpu.models.depth_net import init_depth_model, make_depth_model
 
 

@@ -11,7 +11,6 @@ claim, ``train_depth_OFT.py:1-3``).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from e2eslam_tpu.config import load_config
 from e2eslam_tpu.data.pipeline import load_batch, make_dataset

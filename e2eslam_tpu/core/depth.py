@@ -9,7 +9,6 @@ then inverts; the indoor network's output is inverted directly
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 Array = jax.Array
 

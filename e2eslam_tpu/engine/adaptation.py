@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from e2eslam_tpu.data.pipeline import load_batch, make_dataset
-from e2eslam_tpu.engine.refine import PairBatch, RefinementEngine, RefineState
+from e2eslam_tpu.engine.refine import PairBatch, RefinementEngine
 from e2eslam_tpu.models.depth_net import init_depth_model, make_depth_model
 from e2eslam_tpu.slam.pointclouds import empty_map
 
@@ -98,13 +98,16 @@ class OnlineAdaptation:
             from e2eslam_tpu.slam.fusion import projective_nn
             from e2eslam_tpu.slam.rgbd import build_frame
 
+            aw = cfg.MODEL.get("active_window")
+            aw = int(aw) if aw else None
+
             @jax.jit
             def pair_index(m, pair):
                 frame = build_frame(
                     pair.colors[1], pair.gt_depths[1], pair.intrinsics,
                     pair.poses[1],
                 )
-                return projective_nn(m, frame)
+                return projective_nn(m, frame, active_window=aw)
 
         def rebuild_index(m):
             if knn_impl != "voxel":

@@ -105,12 +105,14 @@ class RefinementEngine:
         self.model = model
         self.map_capacity = map_capacity
         self.optimizer = make_optimizer(config)
+        aw = config.MODEL.get("active_window")
         self.slam = PointFusion(
             odom=config.MODEL.odom,
             dist_th=float(config.MODEL.dist_th),
             angle_th=float(config.MODEL.angle_th),
             sigma=float(config.MODEL.sigma),
             numiters=int(config.MODEL.numiters),
+            active_window=int(aw) if aw else None,
         )
 
         # Donation: the previous RefineState (params/opt/initial-depths) and

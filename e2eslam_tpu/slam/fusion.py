@@ -25,7 +25,7 @@ depth network — which is what makes the end-to-end 3D loss possible.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -120,7 +120,32 @@ def _associate(
     return pix, dist, best_idx, winner
 
 
-def projective_nn(state: MapState, frame: RGBDFrame):
+def _window_view(state: MapState, window: int):
+    """Static-size view of the most recent ``window`` valid map entries.
+
+    Association/fusion cost is proportional to the number of candidate map
+    points; a bounded active window caps it regardless of map size (classic
+    active/inactive surfel split). Returns (start, sub_state) where
+    ``sub_state`` has capacity ``window`` and ``count`` = its valid prefix.
+    """
+    N = state.points.shape[0]
+    start = jnp.clip(state.count - window, 0, max(N - window, 0))
+
+    def sl(x):
+        sizes = (window,) + x.shape[1:]
+        return jax.lax.dynamic_slice(x, (start,) + (0,) * (x.ndim - 1), sizes)
+
+    sub = MapState(
+        points=sl(state.points),
+        normals=sl(state.normals),
+        colors=sl(state.colors),
+        confidence=sl(state.confidence),
+        count=jnp.minimum(state.count - start, window),
+    )
+    return start, sub
+
+
+def projective_nn(state: MapState, frame: RGBDFrame, *, active_window=None):
     """Per-pixel (approximate) nearest map point by projective association.
 
     The TPU-native accelerator for the 3D point loss: O(N_map) projection +
@@ -128,16 +153,21 @@ def projective_nn(state: MapState, frame: RGBDFrame):
     live pixel, returns the index of the closest map point that projects onto
     it (no distance/normal thresholds) and a validity flag. Pixels no map
     point projects onto are invalid — callers mask them out of the loss.
+    ``active_window`` bounds the candidate set to the newest W map points
+    (returned indices remain GLOBAL).
 
     Returns (nn_idx [HW] int32 clipped to valid range, found [HW] bool).
     """
+    start = 0
+    if active_window is not None and active_window < state.points.shape[0]:
+        start, state = _window_view(state, int(active_window))
     live = frame_pointcloud(frame)
     _, _, best_idx, _ = _associate(
         state, frame, live, dist_th=jnp.inf, angle_th=None
     )
     N = state.points.shape[0]
     found = best_idx < N
-    return jnp.minimum(best_idx, N - 1), found
+    return start + jnp.minimum(best_idx, N - 1), found
 
 
 def pointfusion_step(
@@ -147,38 +177,66 @@ def pointfusion_step(
     dist_th: float = 0.05,
     angle_th: float = 20.0,
     sigma: float = 0.6,
+    active_window=None,
 ) -> MapState:
-    """Fuse one live frame into the global map. Returns the new map state."""
+    """Fuse one live frame into the global map. Returns the new map state.
+
+    ``active_window`` (optional int) restricts association/fusion candidates
+    to the newest W map points (appends still land in the full buffer); None
+    keeps full-map association (exact gradslam-like semantics).
+    """
     H, W = frame.depth.shape[:2]
     HW = H * W
     N = state.points.shape[0]
     K = frame.intrinsics
 
+    windowed = active_window is not None and active_window < N
+    if windowed:
+        start, sub = _window_view(state, int(active_window))
+    else:
+        start, sub = 0, state
+
     live = frame_pointcloud(frame)
     alpha = _pixel_alpha(H, W, K, sigma) * live.mask  # [HW]
 
     pix, dist, best_idx, winner = _associate(
-        state, frame, live, dist_th=dist_th, angle_th=angle_th
+        sub, frame, live, dist_th=dist_th, angle_th=angle_th
     )
     v_live = jnp.take(live.points, pix, axis=0)
     n_live = jnp.take(live.normals, pix, axis=0)
 
     # ---- 4. confidence-weighted in-place fusion of winners --------------
-    a = jnp.take(alpha, pix)  # [N] live confidence seen by each map point
-    c = state.confidence
+    a = jnp.take(alpha, pix)  # live confidence seen by each candidate point
+    c = sub.confidence
     wsum = jnp.maximum(c + a, 1e-12)
-    wf = winner[:, None].astype(state.points.dtype)
+    wf = winner[:, None].astype(sub.points.dtype)
 
     def fuse(old, new):
         fused = (c[:, None] * old + a[:, None] * new) / wsum[:, None]
         return old + wf * (fused - old)
 
-    points = fuse(state.points, v_live)
-    colors = fuse(state.colors, jnp.take(live.colors, pix, axis=0))
-    normals_raw = fuse(state.normals, n_live)
+    points_w = fuse(sub.points, v_live)
+    colors_w = fuse(sub.colors, jnp.take(live.colors, pix, axis=0))
+    normals_raw = fuse(sub.normals, n_live)
     nnorm = jnp.linalg.norm(normals_raw, axis=-1, keepdims=True)
-    normals = jnp.where(nnorm > 1e-12, normals_raw / jnp.maximum(nnorm, 1e-12), normals_raw)
-    confidence = c + winner.astype(c.dtype) * a
+    normals_w = jnp.where(
+        nnorm > 1e-12, normals_raw / jnp.maximum(nnorm, 1e-12), normals_raw
+    )
+    confidence_w = c + winner.astype(c.dtype) * a
+
+    if windowed:
+        def wb(full, win):
+            idx = (start,) + (0,) * (full.ndim - 1)
+            return jax.lax.dynamic_update_slice(full, win, idx)
+
+        points = wb(state.points, points_w)
+        colors = wb(state.colors, colors_w)
+        normals = wb(state.normals, normals_w)
+        confidence = wb(state.confidence, confidence_w)
+    else:
+        points, colors, normals, confidence = (
+            points_w, colors_w, normals_w, confidence_w,
+        )
 
     # ---- 5. append unmatched live pixels --------------------------------
     claimed = jnp.zeros((HW,), jnp.int32).at[pix].max(winner.astype(jnp.int32))

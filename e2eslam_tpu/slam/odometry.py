@@ -16,12 +16,10 @@ through the accept/reject decision (the gradLM trick).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
-from e2eslam_tpu.core.se3 import se3_exp, se3_inverse, transform_points
+from e2eslam_tpu.core.se3 import se3_exp, transform_points
 from e2eslam_tpu.slam.rgbd import RGBDFrame
 
 Array = jax.Array

@@ -59,6 +59,7 @@ class PointFusion:
     numiters: int = 20
     icp_dist_th: float = 0.2
     icp_downsample: int = 4
+    active_window: int | None = None  # bound association to newest W points
 
     def _update_map(self, state: MapState, frame: RGBDFrame) -> MapState:
         return pointfusion_step(
@@ -67,6 +68,7 @@ class PointFusion:
             dist_th=self.dist_th,
             angle_th=self.angle_th,
             sigma=self.sigma,
+            active_window=self.active_window,
         )
 
     def _localize(self, live: RGBDFrame, prev: Optional[RGBDFrame]) -> Array:

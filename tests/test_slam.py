@@ -193,3 +193,42 @@ def test_ate_zero_on_identical():
     R = np.eye(4); R[:3, 3] = [1.0, 2.0, 3.0]
     moved = np.einsum("ij,njk->nik", R, poses)
     assert absolute_trajectory_error(poses, moved) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_active_window_matches_full_when_large(seq):
+    f = _frame(seq, 0)
+    g = _frame(seq, 1)
+    full = pointfusion_step(pointfusion_step(empty_map(2 * H * W), f), g)
+    win = pointfusion_step(
+        pointfusion_step(empty_map(2 * H * W), f, active_window=2 * H * W + 5),
+        g, active_window=2 * H * W + 5,
+    )
+    assert int(full.count) == int(win.count)
+    np.testing.assert_allclose(
+        np.asarray(full.points), np.asarray(win.points), atol=1e-6
+    )
+
+
+def test_active_window_small_still_appends(seq):
+    f = _frame(seq, 0)
+    g = _frame(seq, 1)
+    state = empty_map(3 * H * W)
+    state = pointfusion_step(state, f, active_window=512)
+    c1 = int(state.count)
+    assert c1 == int(np.asarray(f.valid).sum())
+    state = pointfusion_step(state, g, active_window=512)
+    assert int(state.count) > c1
+    assert np.all(np.isfinite(np.asarray(state.points)))
+
+
+def test_projective_nn_window_returns_global_indices(seq):
+    from e2eslam_tpu.slam import projective_nn
+
+    f = _frame(seq, 0)
+    state = pointfusion_step(empty_map(2 * H * W), f)
+    idx_full, found_full = projective_nn(state, f)
+    idx_win, found_win = projective_nn(state, f, active_window=1024)
+    n = int(state.count)
+    assert np.asarray(idx_win)[np.asarray(found_win)].max() < n
+    # windowed candidates are the NEWEST points
+    assert np.asarray(idx_win)[np.asarray(found_win)].min() >= n - 1024
