@@ -106,8 +106,15 @@ class PointFusion:
         poses: Array,  # [L, 4, 4] (gt poses; required for odom='gt')
         *,
         capacity: Optional[int] = None,
+        detach_poses: bool = False,
     ) -> Tuple[MapState, Array]:
-        """Full-sequence reconstruction via ``lax.scan``. Returns (map, poses)."""
+        """Full-sequence reconstruction via ``lax.scan``. Returns (map, poses).
+
+        ``detach_poses`` severs gradients through the pose chain between
+        steps (the reference's custom rollout detaches poses,
+        ``slam/custom_slam.py:34``) — gradients then flow through geometry
+        only, not through odometry composition.
+        """
         L, H, W = colors.shape[:3]
         if capacity is None:
             capacity = L * H * W
@@ -121,7 +128,8 @@ class PointFusion:
             color, depth, gt_pose = inputs
             live = build_frame(color, depth, intrinsics, gt_pose)
             state, pose = self.step(state, live, prev)
-            live = live._replace(pose=pose)
+            carry_pose = jax.lax.stop_gradient(pose) if detach_poses else pose
+            live = live._replace(pose=carry_pose)
             return (state, live), pose
 
         (state, _), est_poses = jax.lax.scan(

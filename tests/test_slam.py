@@ -232,3 +232,19 @@ def test_projective_nn_window_returns_global_indices(seq):
     assert np.asarray(idx_win)[np.asarray(found_win)].max() < n
     # windowed candidates are the NEWEST points
     assert np.asarray(idx_win)[np.asarray(found_win)].min() >= n - 1024
+
+
+def test_detach_poses_rollout(seq):
+    """detach_poses severs gradients through the pose chain (reference
+    custom_slam pose-detach discipline) while geometry gradients remain."""
+    colors, depths, K, poses, _ = seq
+
+    def loss(d, detach):
+        slam = PointFusion(odom="gt")
+        state, out_poses = slam(colors, d, K, poses, capacity=3 * H * W,
+                                detach_poses=detach)
+        return jnp.sum(state.points[: 2 * H * W] ** 2) / (H * W)
+
+    g = jax.grad(lambda d: loss(d, True))(depths)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).max()) > 0
