@@ -23,13 +23,29 @@ class Demo(OnlineAdaptation):
         super().__init__(config, **kwargs)
         self.snapshots = []
         original_fuse = self.engine.fuse_pair
+        original_process = self.engine.process_pair
+
+        import jax
+        import jax.numpy as jnp
+
+        def snap(m):
+            # The engine donates map buffers on the next call; snapshot a copy.
+            self.snapshots.append(jax.tree_util.tree_map(jnp.copy, m))
 
         def fuse_and_snapshot(state, pair, map_state, *, fuse_prev):
             new_map = original_fuse(state, pair, map_state, fuse_prev=fuse_prev)
-            self.snapshots.append(new_map)
+            snap(new_map)
             return new_map
 
+        def process_and_snapshot(state, pair, map_state, rng, *, fuse_prev):
+            state, new_map, metrics = original_process(
+                state, pair, map_state, rng, fuse_prev=fuse_prev
+            )
+            snap(new_map)
+            return state, new_map, metrics
+
         self.engine.fuse_pair = fuse_and_snapshot
+        self.engine.process_pair = process_and_snapshot
 
     def run(self, *, verbose=None):
         self.snapshots = []

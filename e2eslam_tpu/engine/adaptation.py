@@ -149,17 +149,25 @@ class OnlineAdaptation:
                 intrinsics=K,
                 poses=jnp.stack([poses[prev], poses[frame]]),
             )
-            state = state._replace(step=jnp.zeros((), jnp.int32))
-            if knn_impl == "projective":
-                map_index = pair_index(global_map, pair)
-            step_metrics = None
-            for _ in range(refinement_steps):
+            if not verbose:
+                # Fast path: association + R refine steps + fusion compiled
+                # into ONE XLA program (single dispatch per keyframe).
                 rng, sub = jax.random.split(rng)
-                state, step_metrics = self.engine.refine_step(
-                    state, pair, global_map, sub, map_index=map_index
+                state, global_map, step_metrics = self.engine.process_pair(
+                    state, pair, global_map, sub, fuse_prev=first_iter
                 )
-                total_refine_steps += 1
-                if verbose:
+                total_refine_steps += refinement_steps
+            else:
+                state = state._replace(step=jnp.zeros((), jnp.int32))
+                if knn_impl == "projective":
+                    map_index = pair_index(global_map, pair)
+                step_metrics = None
+                for _ in range(refinement_steps):
+                    rng, sub = jax.random.split(rng)
+                    state, step_metrics = self.engine.refine_step(
+                        state, pair, global_map, sub, map_index=map_index
+                    )
+                    total_refine_steps += 1
                     m = jax.device_get(step_metrics)
                     print(
                         f"frame {frame} refine_step {int(state.step) - 1} "
@@ -167,10 +175,10 @@ class OnlineAdaptation:
                         f"abs_rel {float(m['abs_rel']):.5f} "
                         f"rmse {float(m['rmse']):.5f} a1 {float(m['a1']):.5f}"
                     )
-            global_map = self.engine.fuse_pair(
-                state, pair, global_map, fuse_prev=first_iter
-            )
-            map_index = rebuild_index(global_map)
+                global_map = self.engine.fuse_pair(
+                    state, pair, global_map, fuse_prev=first_iter
+                )
+                map_index = rebuild_index(global_map)
             first_iter = False
             keyframes.append(frame)
             per_pair_metrics.append(step_metrics)  # device arrays (async)
@@ -187,6 +195,18 @@ class OnlineAdaptation:
             for i, m in enumerate(per_pair_metrics):
                 logger.log(i, {k: v for k, v in m.items() if _np.ndim(v) == 0})
             logger.close()
+
+        # Optional checkpoint of the adapted network (MODEL.save_checkpoint).
+        if cfg.MODEL.get("save_checkpoint"):
+            from e2eslam_tpu.checkpoint import save_checkpoint
+
+            save_checkpoint(
+                cfg.MODEL.save_checkpoint,
+                state.params,
+                state.batch_stats,
+                state.opt_state,
+                meta={"keyframes": len(keyframes), "refine_steps": total_refine_steps},
+            )
 
         abs_rels = [float(m["abs_rel"]) for m in per_pair_metrics]
         result = {

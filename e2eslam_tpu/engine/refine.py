@@ -119,6 +119,11 @@ class RefinementEngine:
         # the pre-fusion map are dead after each call — letting XLA reuse
         # their HBM avoids copying the multi-million-point map every fusion.
         self._pft_step = jax.jit(self._make_pft_step(), donate_argnums=(0,))
+        self._process_pair = jax.jit(
+            self._make_process_pair(),
+            static_argnames=("fuse_prev",),
+            donate_argnums=(0, 2),
+        )
         self._oft_step = jax.jit(self._make_oft_step())
         self._scale_step = jax.jit(self._make_scale_step())
         self._fuse_pair = jax.jit(
@@ -514,6 +519,52 @@ class RefinementEngine:
         return step
 
     # ------------------------------------------------------------------
+    # Fused whole-keyframe processing: association + R refinement steps
+    # (lax.scan) + fusion in ONE XLA program. One device dispatch per
+    # keyframe pair instead of R+2 — dispatch round-trips are significant
+    # on tunneled/remote TPU runtimes, and XLA can overlap across phases.
+    # ------------------------------------------------------------------
+    def _make_process_pair(self):
+        cfg = self.config
+        R = int(cfg.OPTIMIZATION.refinement_steps)
+        step = self._make_pft_step()
+        fuse = self._make_fuse_pair()
+        knn_impl = str(cfg.LOSS.get("knn_impl", "brute"))
+        aw = cfg.MODEL.get("active_window")
+        aw = int(aw) if aw else None
+
+        def process(state: RefineState, pair: PairBatch, map_state: MapState,
+                    rng, *, fuse_prev: bool):
+            map_index = None
+            if knn_impl == "projective":
+                from e2eslam_tpu.slam.fusion import projective_nn
+
+                frame = build_frame(
+                    pair.colors[TARGET], pair.gt_depths[TARGET],
+                    pair.intrinsics, pair.poses[TARGET],
+                )
+                map_index = projective_nn(map_state, frame, active_window=aw)
+
+            state = state._replace(step=jnp.zeros((), jnp.int32))
+
+            def body(carry, _):
+                st, key = carry
+                key, sub = jax.random.split(key)
+                st, metrics = step(st, pair, map_state, map_index, sub)
+                return (st, key), metrics
+
+            (state, _), metrics = jax.lax.scan(body, (state, rng), None, length=R)
+            new_map = fuse(
+                state.params, state.batch_stats, pair, map_state,
+                fuse_prev=fuse_prev,
+            )
+            # last-step metrics (the reference reports the final refine step)
+            last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+            return state, new_map, last
+
+        return process
+
+    # ------------------------------------------------------------------
     # OFT step: optimize the depth maps directly (no grads through the CNN)
     # ------------------------------------------------------------------
     def _make_oft_step(self):
@@ -635,6 +686,10 @@ class RefinementEngine:
 
     def refine_step(self, state, pair, map_state, rng, map_index=None):
         return self._pft_step(state, pair, map_state, map_index, rng)
+
+    def process_pair(self, state, pair, map_state, rng, *, fuse_prev: bool):
+        """Whole-keyframe fast path: R refine steps + fusion, one dispatch."""
+        return self._process_pair(state, pair, map_state, rng, fuse_prev=fuse_prev)
 
     def oft_step(self, depths, opt_state, initial_depths, pair, map_state, rng,
                  map_index=None):

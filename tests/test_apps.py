@@ -118,3 +118,17 @@ def test_online_adaption_projective_knn():
     assert np.isfinite(result["mean_abs_rel"])
     # 3D loss must actually fire on non-first pairs
     assert any(float(m["three3d"]) > 0 for m in result["metrics"][1:])
+
+
+def test_demo_snapshots(tmp_path):
+    from e2eslam_tpu.apps.demo import Demo
+
+    cfg = tiny_config()
+    demo = Demo(cfg)
+    result = demo.run(verbose=False)
+    assert len(result["snapshots"]) == result["num_keyframes"]
+    paths = demo.export_snapshots(str(tmp_path), max_points=500)
+    assert len(paths) == result["num_keyframes"]
+    import os
+
+    assert all(os.path.exists(p) for p in paths)
