@@ -35,13 +35,20 @@ def find_median_scale(config, *, dataset=None, max_windows=None) -> float:
             params, batch_stats,
         )
 
+    from e2eslam_tpu.core.depth import disp_to_depth, indoor_disp_to_depth
+
     @jax.jit
     def window_ratio(colors, gt_depths):
         out = model.apply(
             {"params": params, "batch_stats": batch_stats}, colors, train=False
         )
         disp = out[0].astype(jnp.float32)
-        depth = 1.0 / disp if config.MODEL.depth_network == "indoor" else disp
+        if config.MODEL.depth_network == "indoor":
+            depth = indoor_disp_to_depth(disp)
+        else:
+            depth = disp_to_depth(
+                disp, float(config.DATA.min_depth), float(config.DATA.max_depth)
+            )
         return jnp.median(gt_depths) / jnp.median(depth)
 
     n = len(dataset) if max_windows is None else min(len(dataset), max_windows)

@@ -80,6 +80,7 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
 
         pair = PairBatch(colors=colors, gt_depths=gt_depths, intrinsics=K, poses=poses)
         state = state._replace(step=jnp.zeros((), jnp.int32))
+        metrics = None
         for rs in range(int(config.OPTIMIZATION.refinement_steps)):
             rng, sub = jax.random.split(rng)
             state, metrics = engine.refine_step(state, pair, gt_map, sub)
@@ -96,7 +97,8 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
                     {k: v for k, v in jax.device_get(metrics).items()
                      if np.ndim(v) == 0},
                 )
-        all_metrics.append(jax.device_get(metrics))
+        if metrics is not None:
+            all_metrics.append(jax.device_get(metrics))
 
         if config.DEBUG.get("early_stop") and it >= int(config.DEBUG.get("iter_stop", 0)):
             break

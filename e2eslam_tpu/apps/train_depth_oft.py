@@ -55,7 +55,11 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
         # One frozen forward; the depth tensor is the optimization variable.
         _, depths = engine.predict_depth(state, colors)
         depths = jax.lax.stop_gradient(depths)
-        initial_depths = depths
+        # The drift regularizer compares POST-scaling depths (the loss scales
+        # the optimized tensor before comparing — same fix as the PFT path).
+        initial_depths = jax.lax.stop_gradient(
+            engine._apply_scaling(depths, gt_depths, intrinsics=K)
+        )
         opt_state = engine.optimizer.init(depths)
 
         metrics = None

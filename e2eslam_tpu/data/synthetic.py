@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from e2eslam_tpu.data.windowing import make_windows, poses_to_transforms_np
+
 BOX = np.array([4.0, 3.0, 5.0])  # box extents (meters); interior scene
 # Interior spheres break the planar degeneracy of a bare box (tangential
 # motion along a wall is unobservable to geometry-only ICP). Placed well
@@ -116,12 +118,6 @@ def _render(pose: np.ndarray, K: np.ndarray, height: int, width: int):
     return color.astype(np.float32), depth
 
 
-def _poses_to_transforms(poses: np.ndarray) -> np.ndarray:
-    out = np.empty_like(poses)
-    out[0] = np.eye(4)
-    for k in range(1, poses.shape[0]):
-        out[k] = np.linalg.inv(poses[k - 1]) @ poses[k]
-    return out
 
 
 class SyntheticDataset:
@@ -160,11 +156,14 @@ class SyntheticDataset:
             np.float32,
         )
 
-        span = (seqlen - 1) * (self.dilation + 1) + 1
-        starts = range(self.start, max(self.start + 1, total_frames - span + 1), self.stride)
-        self.windows = [
-            [s + i * (self.dilation + 1) for i in range(seqlen)] for s in starts
-        ]
+        self.windows = make_windows(
+            total_frames, seqlen, self.dilation, self.stride, self.start
+        )
+        if not self.windows:
+            raise ValueError(
+                f"no complete windows: seqlen={seqlen} dilation={self.dilation} "
+                f"start={self.start} exceed total_frames={total_frames}"
+            )
         self._cache = {}
 
     def __len__(self) -> int:
@@ -182,5 +181,5 @@ class SyntheticDataset:
         colors = np.stack([f[0] for f in frames]) * 255.0
         depths = np.stack([f[1] for f in frames])
         poses = np.stack([f[2] for f in frames])
-        transforms = _poses_to_transforms(poses.astype(np.float64)).astype(np.float32)
+        transforms = poses_to_transforms_np(poses)
         return colors, depths, self.intrinsics.copy(), poses, transforms

@@ -70,23 +70,7 @@ def _load_image(path: str, height: int, width: int, *, nearest: bool) -> np.ndar
     return np.asarray(img)
 
 
-def _poses_to_transforms(poses: np.ndarray) -> np.ndarray:
-    out = np.empty_like(poses)
-    out[0] = np.eye(4)
-    for k in range(1, poses.shape[0]):
-        out[k] = np.linalg.inv(poses[k - 1]) @ poses[k]
-    return out
-
-
-def _windows(num_frames: int, seqlen: int, dilation: int, stride: int, start: int):
-    dilation = dilation or 0
-    stride = stride or 1
-    start = start or 0
-    span = (seqlen - 1) * (dilation + 1) + 1
-    return [
-        [s + i * (dilation + 1) for i in range(seqlen)]
-        for s in range(start, max(start + 1, num_frames - span + 1), stride)
-    ]
+from e2eslam_tpu.data.windowing import make_windows, poses_to_transforms_np
 
 
 class _RGBDDiskDataset:
@@ -113,31 +97,36 @@ class _RGBDDiskDataset:
         self.poses_list: List[np.ndarray] = []
         traj_dirs = self._find_trajectories(basedir, trajectories)
         per_traj_windows = []
+        self.window_traj: List[int] = []  # window -> trajectory index
+        self.traj_intrinsics: List[np.ndarray] = []  # per-trajectory (sizes differ)
         offset = 0
-        for traj in traj_dirs:
+        for t_idx, traj in enumerate(traj_dirs):
             rgb, depth, poses, native_size = self._load_trajectory(traj)
             n = len(rgb)
             self.rgb_files += rgb
             self.depth_files += depth
             self.poses_list.append(poses)
-            for w in _windows(n, seqlen, dilation, stride, start):
+            for w in make_windows(n, seqlen, dilation, stride, start):
                 per_traj_windows.append([offset + i for i in w])
+                self.window_traj.append(t_idx)
             offset += n
+
+            K = self._native_intrinsics().copy()
+            K[0, :] *= width / float(native_size[0])
+            K[1, :] *= height / float(native_size[1])
+            K4 = np.eye(4, dtype=np.float32)
+            K4[:3, :3] = K
+            self.traj_intrinsics.append(K4)
         self.poses = (
             np.concatenate(self.poses_list) if self.poses_list else np.zeros((0, 4, 4))
         )
         self.windows = per_traj_windows
-        self.native_size = native_size  # (w, h) of source images
-
-        K = self._native_intrinsics()
-        sx = width / float(self.native_size[0])
-        sy = height / float(self.native_size[1])
-        K = K.copy()
-        K[0, :] *= sx
-        K[1, :] *= sy
-        K4 = np.eye(4, dtype=np.float32)
-        K4[:3, :3] = K
-        self.intrinsics = K4
+        if not self.windows:
+            raise ValueError(
+                f"no complete windows: seqlen={seqlen} dilation={dilation} "
+                f"start={start} exceed the trajectory length(s) under {basedir}"
+            )
+        self.intrinsics = self.traj_intrinsics[0]
 
     # -- per-format hooks -------------------------------------------------
     def _find_trajectories(self, basedir, trajectories):
@@ -186,8 +175,9 @@ class _RGBDDiskDataset:
                 ]
             )
         poses = self.poses[idxs].astype(np.float32)
-        transforms = _poses_to_transforms(poses.astype(np.float64)).astype(np.float32)
-        return colors, depths, self.intrinsics.copy(), poses, transforms
+        transforms = poses_to_transforms_np(poses)
+        K = self.traj_intrinsics[self.window_traj[i]]
+        return colors, depths, K.copy(), poses, transforms
 
 
 class ICLDataset(_RGBDDiskDataset):

@@ -193,7 +193,8 @@ class OnlineAdaptation:
             import numpy as _np
 
             for i, m in enumerate(per_pair_metrics):
-                logger.log(i, {k: v for k, v in m.items() if _np.ndim(v) == 0})
+                if m is not None:
+                    logger.log(i, {k: v for k, v in m.items() if _np.ndim(v) == 0})
             logger.close()
 
         # Optional checkpoint of the adapted network (MODEL.save_checkpoint).
@@ -208,7 +209,9 @@ class OnlineAdaptation:
                 meta={"keyframes": len(keyframes), "refine_steps": total_refine_steps},
             )
 
-        abs_rels = [float(m["abs_rel"]) for m in per_pair_metrics]
+        abs_rels = [
+            float(m["abs_rel"]) for m in per_pair_metrics if m is not None
+        ]
         result = {
             "map": global_map,
             "state": state,

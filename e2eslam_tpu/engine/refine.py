@@ -43,7 +43,7 @@ from e2eslam_tpu.core.se3 import se3_inverse, transform_points
 from e2eslam_tpu.engine.optim import make_optimizer
 from e2eslam_tpu.losses.metrics import depth_metrics
 from e2eslam_tpu.losses.photometric import photometric_loss
-from e2eslam_tpu.losses.points import knn_points_loss, chamfer_distance
+from e2eslam_tpu.losses.points import knn_points_loss
 from e2eslam_tpu.losses.regularizers import (
     depth_gt_loss,
     depth_regularizer,
@@ -435,9 +435,32 @@ class RefinementEngine:
                 loss = loss + knn_l * w
                 aux["three3d"] = knn_l
             if L.chamfer_distance:
-                ch = gate * chamfer_distance(
-                    pts, map_pts, n_b=map_count, bidirectional=True
+                # Both directions must ignore invalid (zero-depth) query
+                # pixels: a->b via the msk weight; b->a by pushing invalid
+                # queries far away so they are never anyone's neighbor.
+                from e2eslam_tpu.ops.knn import knn
+
+                idx_ab = jax.lax.stop_gradient(
+                    knn(jax.lax.stop_gradient(pts), map_pts, map_count)[1]
                 )
+                d_ab = jnp.sum(
+                    (pts - jnp.take(map_pts, idx_ab, axis=0)) ** 2, axis=-1
+                ) * msk
+                d_ab = jnp.sum(d_ab) / jnp.maximum(jnp.sum(msk), 1.0)
+
+                pts_safe = jnp.where(msk[:, None] > 0, pts, 1e6)
+                idx_ba = jax.lax.stop_gradient(
+                    knn(map_pts, jax.lax.stop_gradient(pts_safe))[1]
+                )
+                mvalid = (
+                    jnp.arange(map_pts.shape[0]) < map_count
+                ).astype(jnp.float32)
+                d_ba = jnp.sum(
+                    (map_pts - jnp.take(pts_safe, idx_ba, axis=0)) ** 2, axis=-1
+                ) * mvalid
+                d_ba = jnp.sum(d_ba) / jnp.maximum(jnp.sum(mvalid), 1.0)
+
+                ch = gate * (d_ab + d_ba)
                 loss = loss + 0.5 * ch * float(L.chamfer_weight)
                 aux["chamfer"] = ch
 
@@ -533,6 +556,9 @@ class RefinementEngine:
         aw = cfg.MODEL.get("active_window")
         aw = int(aw) if aw else None
 
+        voxel_size = float(cfg.LOSS.get("voxel_size", 0.1))
+        table_size = 1 << int(cfg.LOSS.get("voxel_table_pow", 20))
+
         def process(state: RefineState, pair: PairBatch, map_state: MapState,
                     rng, *, fuse_prev: bool):
             map_index = None
@@ -544,6 +570,13 @@ class RefinementEngine:
                     pair.intrinsics, pair.poses[TARGET],
                 )
                 map_index = projective_nn(map_state, frame, active_window=aw)
+            elif knn_impl == "voxel":
+                from e2eslam_tpu.ops.voxel_knn import build_voxel_index
+
+                map_index = build_voxel_index(
+                    map_state.points, map_state.count, voxel_size,
+                    table_size=table_size,
+                )
 
             state = state._replace(step=jnp.zeros((), jnp.int32))
 
@@ -553,13 +586,18 @@ class RefinementEngine:
                 st, metrics = step(st, pair, map_state, map_index, sub)
                 return (st, key), metrics
 
-            (state, _), metrics = jax.lax.scan(body, (state, rng), None, length=R)
+            if R > 0:
+                (state, _), metrics = jax.lax.scan(
+                    body, (state, rng), None, length=R
+                )
+                # last-step metrics (the reference reports the final step)
+                last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+            else:
+                last = None  # fuse-only mode (refinement_steps: 0)
             new_map = fuse(
                 state.params, state.batch_stats, pair, map_state,
                 fuse_prev=fuse_prev,
             )
-            # last-step metrics (the reference reports the final refine step)
-            last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
             return state, new_map, last
 
         return process

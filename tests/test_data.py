@@ -12,13 +12,13 @@ from e2eslam_tpu.core import (
 from e2eslam_tpu.core.se3 import se3_inverse
 from e2eslam_tpu.data.pipeline import load_batch
 from e2eslam_tpu.data.synthetic import SyntheticDataset
-from e2eslam_tpu.data.tumicl import _windows
+from e2eslam_tpu.data.windowing import make_windows as _windows
 
 
 def test_windowing_semantics():
     # gradslam knobs: dilation skips frames inside a window, stride between
     # window starts, start offsets everything.
-    w = _windows(num_frames=20, seqlen=3, dilation=2, stride=5, start=1)
+    w = _windows(20, seqlen=3, dilation=2, stride=5, start=1)
     assert w[0] == [1, 4, 7]
     assert w[1] == [6, 9, 12]
     assert all(x[-1] < 20 for x in w)
@@ -69,3 +69,12 @@ def test_dataset_cache_consistency():
     b = ds[1]
     # stride 1: window 1 starts one frame later; frame overlap must be equal.
     np.testing.assert_array_equal(a[0][1], b[0][0])
+
+
+def test_windows_raise_when_out_of_range():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SyntheticDataset(seqlen=4, height=32, width=32, dilation=5, start=90,
+                         total_frames=50)
+    assert _windows(50, seqlen=4, dilation=5, stride=1, start=90) == []

@@ -207,3 +207,33 @@ def test_use_estimated_pose_mode():
     emap = empty_map(2 * H * W)
     state, metrics = engine.refine_step(state, p, emap, jax.random.key(0))
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_chamfer_with_partial_gt_depth():
+    """Chamfer with zero-depth GT pixels: the map drops them (fusion masks),
+    invalid-query masking keeps both directions finite, and the loss reflects
+    prediction error only (query validity comes from the PREDICTED depth —
+    always valid for the indoor net, zeroable in OFT mode)."""
+    ds = SyntheticDataset(seqlen=2, height=H, width=W, dilation=3, total_frames=20)
+    colors, depths, K, poses, _ = ds[0]
+    depths = depths.copy()
+    depths[:, : H // 2] = 0.0  # kill half the GT pixels
+    p = PairBatch(
+        colors=jnp.asarray(colors / 255.0),
+        gt_depths=jnp.asarray(depths),
+        intrinsics=jnp.asarray(K),
+        poses=jnp.asarray(poses),
+    )
+    cfg = small_config(**{"LOSS.chamfer_distance": True, "LOSS.three3d_loss": False})
+    cfg.DATA.name = "TUM"  # zero-depth masking semantics
+    engine, state = _engine_and_state(cfg)
+    slam = PointFusion(odom="gt")
+    gmap, _ = slam(p.colors, p.gt_depths, p.intrinsics, p.poses, capacity=2 * H * W)
+    # fusion dropped the invalid GT pixels from the map (second frame partly
+    # fuses into the first, so count lies between one frame's valid pixels
+    # and the two frames' total)
+    n_valid_total = int((np.asarray(depths) > 0).sum())
+    assert n_valid_total // 2 <= int(gmap.count) <= n_valid_total
+    state, metrics = engine.refine_step(state, p, gmap, jax.random.key(0))
+    ch = float(metrics["chamfer"])
+    assert np.isfinite(ch) and ch > 0
