@@ -237,3 +237,24 @@ def test_chamfer_with_partial_gt_depth():
     state, metrics = engine.refine_step(state, p, gmap, jax.random.key(0))
     ch = float(metrics["chamfer"])
     assert np.isfinite(ch) and ch > 0
+
+
+def test_fuse_pair_with_gradicp_odometry():
+    """MODEL.odom: gradicp (the reference default): fusion localizes the live
+    frame by differentiable ICP instead of trusting GT poses."""
+    ds = SyntheticDataset(seqlen=2, height=H, width=W, dilation=0, start=22,
+                          total_frames=30)
+    colors, depths, K, poses, _ = ds[0]
+    p = PairBatch(
+        colors=jnp.asarray(colors / 255.0),
+        gt_depths=jnp.asarray(depths),
+        intrinsics=jnp.asarray(K),
+        poses=jnp.asarray(poses),
+    )
+    cfg = small_config()
+    cfg.MODEL.odom = "gradicp"
+    cfg.MODEL.numiters = 10
+    engine, state = _engine_and_state(cfg)
+    gmap = engine.fuse_pair(state, p, empty_map(3 * H * W), fuse_prev=True)
+    assert int(gmap.count) > H * W
+    assert np.all(np.isfinite(np.asarray(gmap.points)))
