@@ -68,6 +68,22 @@ def run_bench():
     warm.run(verbose=False)
 
     result = runner.run(verbose=False)
+
+    # ATE variant: same workload with the reference's default odometry
+    # (odom: gradicp, /root/reference/configs/config.yaml:30) on a short
+    # prefix — scores the estimated trajectory (BASELINE.md north star's
+    # second half). Shares the warm engine only if shapes match; it does not
+    # (different odom changes the program), so it compiles separately — keep
+    # the prefix short.
+    icp_cfg = cfg.copy()
+    icp_cfg.MODEL.odom = "gradicp"
+    icp_cfg.DEMO.sequence_length = 20
+    icp_cfg.MODEL.map_capacity = runner.capacity
+    icp_runner = OnlineAdaptation(icp_cfg)
+    icp = icp_runner.run(verbose=False)
+    result["gradicp_ate"] = icp["ate"]
+    result["gradicp_rpe"] = icp["rpe"]
+    result["gradicp_abs_rel"] = icp["mean_abs_rel"]
     return result
 
 
@@ -87,6 +103,11 @@ def main():
                     "elapsed_s": round(result["elapsed_s"], 3),
                     "mean_abs_rel": round(result["mean_abs_rel"], 5),
                     "map_points": result["map_points"],
+                    "ate": round(result["ate"], 6),
+                    "rpe": round(result["rpe"], 6),
+                    "gradicp_ate": round(result["gradicp_ate"], 6),
+                    "gradicp_rpe": round(result["gradicp_rpe"], 6),
+                    "gradicp_abs_rel": round(result["gradicp_abs_rel"], 5),
                 },
             }
         )

@@ -27,14 +27,9 @@ def train_scale(config, *, dataset=None, max_windows=None, verbose=True):
     H, W = int(config.DATA.height), int(config.DATA.width)
     model = make_depth_model(config)
     params, batch_stats = init_depth_model(model, jax.random.key(0), H, W)
-    if config.MODEL.get("use_pretrained_models") and config.MODEL.get("load_depth_path"):
-        import os
-        from e2eslam_tpu.models.convert import load_torch_checkpoint
+    from e2eslam_tpu.models.convert import load_depth_weights
 
-        params, batch_stats = load_torch_checkpoint(
-            os.path.join(config.MODEL.load_depth_path, "depth.pth.tar"),
-            params, batch_stats,
-        )
+    params, batch_stats = load_depth_weights(config, params, batch_stats)
 
     # Scale learning disables other depth scaling (the scale IS the subject).
     cfg = config.copy()

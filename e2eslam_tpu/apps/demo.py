@@ -33,16 +33,18 @@ class Demo(OnlineAdaptation):
             self.snapshots.append(jax.tree_util.tree_map(jnp.copy, m))
 
         def fuse_and_snapshot(state, pair, map_state, *, fuse_prev):
-            new_map = original_fuse(state, pair, map_state, fuse_prev=fuse_prev)
+            new_map, est_pose = original_fuse(
+                state, pair, map_state, fuse_prev=fuse_prev
+            )
             snap(new_map)
-            return new_map
+            return new_map, est_pose
 
         def process_and_snapshot(state, pair, map_state, rng, *, fuse_prev):
-            state, new_map, metrics = original_process(
+            state, new_map, metrics, est_pose = original_process(
                 state, pair, map_state, rng, fuse_prev=fuse_prev
             )
             snap(new_map)
-            return state, new_map, metrics
+            return state, new_map, metrics, est_pose
 
         self.engine.fuse_pair = fuse_and_snapshot
         self.engine.process_pair = process_and_snapshot
@@ -61,6 +63,22 @@ class Demo(OnlineAdaptation):
             for i, snap in enumerate(self.snapshots)
         ]
 
+    def export_animation(self, result, path: str, *, max_points: int = 50000,
+                         ms_per_frame: int = 50) -> str:
+        """Write the animated map-update HTML (reference
+        ``plotly_map_update_visualization``, ``utils/advanced_vis.py:7-170``):
+        one frame per keyframe with camera frustum, center marker, trajectory
+        trace and the fused cloud, plus slider + play/stop controls."""
+        from e2eslam_tpu.viz.animation import (
+            map_update_figure, write_animation_html,
+        )
+
+        fig = map_update_figure(
+            result["snapshots"], result["est_poses"], result["intrinsics"],
+            max_points_per_frame=max_points, ms_per_frame=ms_per_frame,
+        )
+        return write_animation_html(fig, path)
+
 
 def main(argv=None):
     config = load_config(argv)
@@ -74,6 +92,8 @@ def main(argv=None):
     )
     paths = demo.export_snapshots(out_dir)
     print(f"exported {len(paths)} map snapshots to {out_dir}")
+    anim = demo.export_animation(result, os.path.join(out_dir, "map_update.html"))
+    print(f"wrote {anim}")
     fig = plotly_figure(result["map"])
     if fig is not None:
         fig.write_html(os.path.join(out_dir, "final_map.html"))

@@ -26,14 +26,9 @@ def find_median_scale(config, *, dataset=None, max_windows=None) -> float:
     params, batch_stats = init_depth_model(
         model, jax.random.key(0), config.DATA.height, config.DATA.width
     )
-    if config.MODEL.get("use_pretrained_models") and config.MODEL.get("load_depth_path"):
-        import os
-        from e2eslam_tpu.models.convert import load_torch_checkpoint
+    from e2eslam_tpu.models.convert import load_depth_weights
 
-        params, batch_stats = load_torch_checkpoint(
-            os.path.join(config.MODEL.load_depth_path, "depth.pth.tar"),
-            params, batch_stats,
-        )
+    params, batch_stats = load_depth_weights(config, params, batch_stats)
 
     from e2eslam_tpu.core.depth import disp_to_depth, indoor_disp_to_depth
 

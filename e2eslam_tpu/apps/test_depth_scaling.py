@@ -36,13 +36,9 @@ def evaluate(config, *, dataset=None, max_windows=None, verbose=True):
     H, W = int(cfg.DATA.height), int(cfg.DATA.width)
     model = make_depth_model(cfg)
     params, batch_stats = init_depth_model(model, jax.random.key(0), H, W)
-    if cfg.MODEL.get("use_pretrained_models") and cfg.MODEL.get("load_depth_path"):
-        from e2eslam_tpu.models.convert import load_torch_checkpoint
+    from e2eslam_tpu.models.convert import load_depth_weights
 
-        params, batch_stats = load_torch_checkpoint(
-            os.path.join(cfg.MODEL.load_depth_path, "depth.pth.tar"),
-            params, batch_stats,
-        )
+    params, batch_stats = load_depth_weights(cfg, params, batch_stats)
 
     capacity = len(frames) * H * W
     engine = RefinementEngine(cfg, model, map_capacity=capacity)

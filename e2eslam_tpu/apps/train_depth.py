@@ -30,14 +30,9 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
     H, W = int(config.DATA.height), int(config.DATA.width)
     model = make_depth_model(config)
     params, batch_stats = init_depth_model(model, jax.random.key(0), H, W)
-    if config.MODEL.get("use_pretrained_models") and config.MODEL.get("load_depth_path"):
-        import os
-        from e2eslam_tpu.models.convert import load_torch_checkpoint
+    from e2eslam_tpu.models.convert import load_depth_weights
 
-        params, batch_stats = load_torch_checkpoint(
-            os.path.join(config.MODEL.load_depth_path, "depth.pth.tar"),
-            params, batch_stats,
-        )
+    params, batch_stats = load_depth_weights(config, params, batch_stats)
 
     capacity = len(frames) * H * W
     engine = RefinementEngine(config, model, map_capacity=capacity)
@@ -81,9 +76,22 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
         pair = PairBatch(colors=colors, gt_depths=gt_depths, intrinsics=K, poses=poses)
         state = state._replace(step=jnp.zeros((), jnp.int32))
         metrics = None
-        for rs in range(int(config.OPTIMIZATION.refinement_steps)):
+        R = int(config.OPTIMIZATION.refinement_steps)
+        want_hists = bool(
+            config.VIZ.get("tensorboard") or config.VIZ.get("log_gradients")
+        ) and logger is not None
+        grads = None
+        for rs in range(R):
             rng, sub = jax.random.split(rng)
-            state, metrics = engine.refine_step(state, pair, gt_map, sub)
+            if want_hists and rs == R - 1:
+                # Last step through the grads-returning program: feeds the
+                # per-layer gradient histograms (reference hook_fn,
+                # train_depth.py:865-917).
+                state, metrics, grads = engine.refine_step_with_grads(
+                    state, pair, gt_map, sub
+                )
+            else:
+                state, metrics = engine.refine_step(state, pair, gt_map, sub)
             global_step += 1
             if verbose and config.DEBUG.get("print_metrics"):
                 m = jax.device_get(metrics)
@@ -92,13 +100,33 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
                     f"abs_rel {float(m['abs_rel']):.5f} a1 {float(m['a1']):.5f}"
                 )
             if logger is not None:
+                m = dict(jax.device_get(metrics))
+                grad_norms = m.pop("grad_norms", None)
+                m.pop("debug_images", None)
                 logger.log(
                     global_step,
-                    {k: v for k, v in jax.device_get(metrics).items()
-                     if np.ndim(v) == 0},
+                    {k: v for k, v in m.items() if np.ndim(v) == 0},
                 )
+                if grad_norms:
+                    logger.log(global_step, grad_norms, prefix="grad_norm/")
         if metrics is not None:
-            all_metrics.append(jax.device_get(metrics))
+            m = dict(jax.device_get(metrics))
+            debug_images = m.pop("debug_images", None)
+            m.pop("grad_norms", None)
+            all_metrics.append(m)
+            if debug_images is not None and config.DEBUG.get("plot_path"):
+                from e2eslam_tpu.viz.images import dump_debug_images
+
+                dump_debug_images(
+                    debug_images, config.DEBUG.plot_path, f"iter{it:04d}"
+                )
+            if grads is not None:
+                from e2eslam_tpu.viz.logging import (
+                    gradient_histograms, write_histograms,
+                )
+
+                hists = gradient_histograms(grads)
+                write_histograms(hists, logger, step=global_step)
 
         if config.DEBUG.get("early_stop") and it >= int(config.DEBUG.get("iter_stop", 0)):
             break

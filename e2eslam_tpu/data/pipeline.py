@@ -35,14 +35,21 @@ def make_dataset(config, *, sequence_length: Optional[int] = None):
 
         total = (config.DATA.start or 0) + seqlen * ((config.DATA.dilation or 0) + 1) + 8
         return SyntheticDataset(total_frames=total, **kwargs)
+    # Optional trajectory selection (reference exposes the gradslam dataset
+    # ``trajectories`` argument, absolute_scale.py:81-88).
+    trajectories = config.DATA.get("trajectories") or None
+    if isinstance(trajectories, str):
+        trajectories = [trajectories]
     if name == "ICL":
         from e2eslam_tpu.data.tumicl import ICLDataset
 
-        return ICLDataset(basedir=f"{config.DATA.data_path}/ICL", **kwargs)
+        return ICLDataset(basedir=f"{config.DATA.data_path}/ICL",
+                          trajectories=trajectories, **kwargs)
     if name == "TUM":
         from e2eslam_tpu.data.tumicl import TUMDataset
 
-        return TUMDataset(basedir=f"{config.DATA.data_path}/TUM", **kwargs)
+        return TUMDataset(basedir=f"{config.DATA.data_path}/TUM",
+                          trajectories=trajectories, **kwargs)
     raise ValueError(f"unknown dataset {name}")
 
 

@@ -96,6 +96,7 @@ class _RGBDDiskDataset:
         self.depth_files: List[str] = []
         self.poses_list: List[np.ndarray] = []
         traj_dirs = self._find_trajectories(basedir, trajectories)
+        self.traj_dirs = list(traj_dirs)
         per_traj_windows = []
         self.window_traj: List[int] = []  # window -> trajectory index
         self.traj_intrinsics: List[np.ndarray] = []  # per-trajectory (sizes differ)

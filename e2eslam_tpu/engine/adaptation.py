@@ -44,14 +44,9 @@ class OnlineAdaptation:
         params, batch_stats = init_depth_model(
             self.model, jax.random.key(0), config.DATA.height, config.DATA.width
         )
-        if config.MODEL.get("use_pretrained_models") and config.MODEL.get(
-            "load_depth_path"
-        ):
-            from e2eslam_tpu.models.convert import load_torch_checkpoint
-            import os
+        from e2eslam_tpu.models.convert import load_depth_weights
 
-            path = os.path.join(config.MODEL.load_depth_path, "depth.pth.tar")
-            params, batch_stats = load_torch_checkpoint(path, params, batch_stats)
+        params, batch_stats = load_depth_weights(config, params, batch_stats)
         if config.MODEL.get("restore_checkpoint"):
             from e2eslam_tpu.checkpoint import load_checkpoint
 
@@ -63,8 +58,12 @@ class OnlineAdaptation:
         H, W = int(config.DATA.height), int(config.DATA.width)
         capacity = config.MODEL.get("map_capacity") or seq_len * H * W
         self.capacity = int(capacity)
+        # F-frame refinement windows (reference DEMO.sequence_length_refinement,
+        # configs/config.yaml:105; F=3 uses the middle frame as target exactly
+        # like train_depth's DATA.frames=[0,-1,1] windows, demo.py:437-452).
+        self.F_ref = int(config.DEMO.get("sequence_length_refinement") or 2)
         self.engine = RefinementEngine(config, self.model, map_capacity=self.capacity)
-        self.state = self.engine.init_state(params, batch_stats, (2, H, W))
+        self.state = self.engine.init_state(params, batch_stats, (self.F_ref, H, W))
 
     def run(self, *, verbose: Optional[bool] = None) -> Dict:
         cfg = self.config
@@ -72,11 +71,20 @@ class OnlineAdaptation:
             verbose = bool(cfg.DEBUG.get("print_metrics", False))
 
         colors, gt_depths, intrinsics, poses, _ = load_batch(self.dataset, [0])
-        colors, gt_depths, poses = colors[0], gt_depths[0], poses[0]
-        K = intrinsics[0]
+        # Keyframe selection is host-side control flow — compute it from the
+        # numpy poses BEFORE pinning the sequence to the device.
+        centers = _camera_centers(np.asarray(poses[0]))
+        # Pin the WHOLE sequence on device once (HBM-resident sequence buffer,
+        # SURVEY §5). Anything less re-pays the host->device tunnel latency
+        # (~60-120 ms per dispatch on a remote TPU) on every jitted call —
+        # measured round 1's "assoc 60ms / fuse 124ms" was exactly this, not
+        # compute.
+        colors, gt_depths, poses = (
+            jnp.asarray(colors[0]), jnp.asarray(gt_depths[0]),
+            jnp.asarray(poses[0]),
+        )
+        K = jnp.asarray(intrinsics[0])
         seq_len = colors.shape[0]
-
-        centers = _camera_centers(np.asarray(poses))
         threshold = float(cfg.DEMO.frame_threshold)
         refinement_steps = int(cfg.OPTIMIZATION.refinement_steps)
 
@@ -91,24 +99,11 @@ class OnlineAdaptation:
         voxel_size = float(cfg.LOSS.get("voxel_size", 0.1))
         table_size = 1 << int(cfg.LOSS.get("voxel_table_pow", 20))
 
-        if knn_impl == "projective":
-            # Per-pair fixed data association: project the map onto the
-            # target keyframe once (GT-depth geometry) and reuse the nn image
-            # for all of the pair's refinement steps.
-            from e2eslam_tpu.slam.fusion import projective_nn
-            from e2eslam_tpu.slam.rgbd import build_frame
-
-            aw = cfg.MODEL.get("active_window")
-            aw = int(aw) if aw else None
-
-            @jax.jit
-            def pair_index(m, pair):
-                frame = build_frame(
-                    pair.colors[1], pair.gt_depths[1], pair.intrinsics,
-                    pair.poses[1],
-                )
-                return projective_nn(m, frame, active_window=aw)
-
+        # knn_impl == "projective" needs no precomputed index: association is
+        # recomputed inside each refinement step from the step's own predicted
+        # (scaled) depth — matching the reference's per-step KNN on the
+        # predicted cloud (online_adaption.py:457-471). GT depth never steers
+        # the loss's data association.
         def rebuild_index(m):
             if knn_impl != "voxel":
                 return None
@@ -126,6 +121,7 @@ class OnlineAdaptation:
 
         keyframes: List[int] = []
         per_pair_metrics: List[Dict] = []
+        est_poses: List = []  # per-keyframe odometry estimates (device arrays)
         prev = 0
         # Observability: optional jax.profiler trace of the whole adaptation
         # loop (VIZ.profile_dir) and JSONL scalar logging (SETTINGS.log_path).
@@ -140,27 +136,45 @@ class OnlineAdaptation:
         t_start = time.perf_counter()
         total_refine_steps = 0
 
+        F_ref = self.F_ref
+        kf_hist: List[int] = [0]  # processed keyframes (frame 0 = first prev)
         for frame in range(1, seq_len):
             if np.linalg.norm(centers[frame] - centers[prev]) <= threshold:
                 continue
+            # Refinement window: the last F_ref keyframes ending at `frame`,
+            # oldest first (older-than-history slots repeat the oldest
+            # available keyframe). F_ref=2 -> [prev, frame]; F_ref=3 ->
+            # [prev2, prev, frame] with the MIDDLE frame as refinement target
+            # (reference demo.py:437-452 / train_depth frames [0,-1,1]).
+            hist = (kf_hist + [frame])[-F_ref:]
+            window = [hist[0]] * (F_ref - len(hist)) + hist
             pair = PairBatch(
-                colors=jnp.stack([colors[prev], colors[frame]]),
-                gt_depths=jnp.stack([gt_depths[prev], gt_depths[frame]]),
+                colors=jnp.stack([colors[i] for i in window]),
+                gt_depths=jnp.stack([gt_depths[i] for i in window]),
                 intrinsics=K,
-                poses=jnp.stack([poses[prev], poses[frame]]),
+                poses=jnp.stack([poses[i] for i in window]),
             )
-            if not verbose:
+            if F_ref != 2:
+                # Fusion always ingests the NEWEST keyframe anchored on the
+                # previous one, regardless of the refinement window length.
+                fuse_batch = PairBatch(
+                    colors=jnp.stack([colors[prev], colors[frame]]),
+                    gt_depths=jnp.stack([gt_depths[prev], gt_depths[frame]]),
+                    intrinsics=K,
+                    poses=jnp.stack([poses[prev], poses[frame]]),
+                )
+            else:
+                fuse_batch = pair
+            if not verbose and F_ref == 2:
                 # Fast path: association + R refine steps + fusion compiled
                 # into ONE XLA program (single dispatch per keyframe).
                 rng, sub = jax.random.split(rng)
-                state, global_map, step_metrics = self.engine.process_pair(
+                state, global_map, step_metrics, est_pose = self.engine.process_pair(
                     state, pair, global_map, sub, fuse_prev=first_iter
                 )
                 total_refine_steps += refinement_steps
             else:
                 state = state._replace(step=jnp.zeros((), jnp.int32))
-                if knn_impl == "projective":
-                    map_index = pair_index(global_map, pair)
                 step_metrics = None
                 for _ in range(refinement_steps):
                     rng, sub = jax.random.split(rng)
@@ -168,24 +182,31 @@ class OnlineAdaptation:
                         state, pair, global_map, sub, map_index=map_index
                     )
                     total_refine_steps += 1
-                    m = jax.device_get(step_metrics)
-                    print(
-                        f"frame {frame} refine_step {int(state.step) - 1} "
-                        f"loss {float(m['total_loss']):.5f} "
-                        f"abs_rel {float(m['abs_rel']):.5f} "
-                        f"rmse {float(m['rmse']):.5f} a1 {float(m['a1']):.5f}"
-                    )
-                global_map = self.engine.fuse_pair(
-                    state, pair, global_map, fuse_prev=first_iter
+                    if verbose:
+                        m = jax.device_get(step_metrics)
+                        print(
+                            f"frame {frame} refine_step {int(state.step) - 1} "
+                            f"loss {float(m['total_loss']):.5f} "
+                            f"abs_rel {float(m['abs_rel']):.5f} "
+                            f"rmse {float(m['rmse']):.5f} a1 {float(m['a1']):.5f}"
+                        )
+                global_map, est_pose = self.engine.fuse_pair(
+                    state, fuse_batch, global_map, fuse_prev=first_iter
                 )
                 map_index = rebuild_index(global_map)
             first_iter = False
+            kf_hist.append(frame)
             keyframes.append(frame)
             per_pair_metrics.append(step_metrics)  # device arrays (async)
+            est_poses.append(est_pose)  # device arrays (async)
             prev = frame
 
         # Single host sync at the end of the sequence.
         per_pair_metrics = jax.device_get(per_pair_metrics)
+        est_poses_np = (
+            np.stack(jax.device_get(est_poses)) if est_poses else
+            np.zeros((0, 4, 4), np.float32)
+        )
         elapsed = time.perf_counter() - t_start
         if profile_dir:
             jax.profiler.stop_trace()
@@ -194,8 +215,24 @@ class OnlineAdaptation:
 
             for i, m in enumerate(per_pair_metrics):
                 if m is not None:
+                    m = dict(m)
+                    grad_norms = m.pop("grad_norms", None)
+                    m.pop("debug_images", None)
                     logger.log(i, {k: v for k, v in m.items() if _np.ndim(v) == 0})
+                    if grad_norms:
+                        logger.log(i, grad_norms, prefix="grad_norm/")
             logger.close()
+        # DEBUG.plot: dump the last keyframe's synthesized frame, photometric
+        # error and depth (reference train_depth.py:551-612 capability in the
+        # online loop).
+        if cfg.DEBUG.get("plot") and cfg.DEBUG.get("plot_path"):
+            from e2eslam_tpu.viz.images import dump_debug_images
+
+            for i, m in enumerate(per_pair_metrics):
+                if m is not None and "debug_images" in m:
+                    dump_debug_images(
+                        m["debug_images"], cfg.DEBUG.plot_path, f"kf{i:03d}"
+                    )
 
         # Optional checkpoint of the adapted network (MODEL.save_checkpoint).
         if cfg.MODEL.get("save_checkpoint"):
@@ -212,6 +249,20 @@ class OnlineAdaptation:
         abs_rels = [
             float(m["abs_rel"]) for m in per_pair_metrics if m is not None
         ]
+        # Trajectory quality of the estimated keyframe poses (the other half
+        # of the north star, BASELINE.md). With ``odom: gt`` the estimate IS
+        # the dataset pose (ate == 0); with icp/gradicp this scores odometry.
+        gt_kf_poses = np.asarray(jax.device_get(poses))[np.asarray(keyframes)] \
+            if keyframes else np.zeros((0, 4, 4), np.float32)
+        if len(keyframes) >= 2:
+            from e2eslam_tpu.losses.trajectory import (
+                absolute_trajectory_error, relative_pose_error,
+            )
+
+            ate = absolute_trajectory_error(gt_kf_poses, est_poses_np)
+            rpe = relative_pose_error(gt_kf_poses, est_poses_np)
+        else:
+            ate, rpe = float("nan"), float("nan")
         result = {
             "map": global_map,
             "state": state,
@@ -223,11 +274,17 @@ class OnlineAdaptation:
             "elapsed_s": elapsed,
             "steps_per_sec": total_refine_steps / elapsed if elapsed > 0 else 0.0,
             "map_points": int(jax.device_get(global_map.count)),
+            "est_poses": est_poses_np,
+            "gt_kf_poses": gt_kf_poses,
+            "intrinsics": np.asarray(jax.device_get(K)),
+            "ate": ate,
+            "rpe": rpe,
         }
         if verbose:
             print(
                 f"keyframes {len(keyframes)} mean abs_rel {result['mean_abs_rel']:.5f} "
                 f"map points {result['map_points']} "
+                f"ate {ate:.5f} rpe {rpe:.5f} "
                 f"refine steps/sec {result['steps_per_sec']:.2f}"
             )
         return result

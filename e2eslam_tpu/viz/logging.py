@@ -50,6 +50,43 @@ class ScalarLogger:
             self._tb.close()
 
 
+def write_histograms(hists: Dict[str, Dict], logger: ScalarLogger, *,
+                     step: int) -> None:
+    """Persist per-layer gradient histograms.
+
+    tensorboardX (when installed) gets real ``add_histogram`` records — the
+    reference's exact sink (``train_depth.py:865-917``); otherwise the raw
+    counts/edges land in a JSONL next to the scalar log so the data is never
+    lost.
+    """
+    if logger is None:
+        return
+    if logger._tb is not None:
+        for name, h in hists.items():
+            logger._tb.add_histogram_raw(
+                f"grad/{name}",
+                min=float(h["edges"][0]),
+                max=float(h["edges"][-1]),
+                num=int(h["hist"].sum()),
+                sum=float(h.get("sum", 0.0)),
+                sum_squares=float(h.get("sum_sq", h["norm"] ** 2)),
+                bucket_limits=[float(e) for e in h["edges"][1:]],
+                bucket_counts=[int(c) for c in h["hist"]],
+                global_step=step,
+            )
+        return
+    path = logger.path.replace(".jsonl", "_grad_hists.jsonl")
+    with open(path, "a") as f:
+        for name, h in hists.items():
+            f.write(json.dumps({
+                "step": step,
+                "layer": name,
+                "hist": [int(c) for c in h["hist"]],
+                "edges": [float(e) for e in h["edges"]],
+                "norm": h["norm"],
+            }) + "\n")
+
+
 def gradient_histograms(grads, *, bins: int = 64) -> Dict[str, Dict]:
     """Per-layer histograms of a gradient pytree (host-side).
 

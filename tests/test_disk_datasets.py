@@ -59,6 +59,44 @@ def test_icl_dataset_native_roundtrip(tmp_path):
     assert K[1, 1] < 0
 
 
+def test_make_dataset_forwards_trajectories(tmp_path):
+    """DATA.trajectories passthrough (reference absolute_scale.py:81-88):
+    make_dataset selects exactly the named trajectory directories."""
+    import shutil
+
+    from e2eslam_tpu.config import default_config_path, load_yaml
+    from e2eslam_tpu.data.pipeline import make_dataset
+
+    H, W = 48, 64
+    icl_root = os.path.join(str(tmp_path), "ICL")
+    traj, _, _ = _make_icl_fixture(icl_root, H=H, W=W)
+    # a second trajectory that must NOT be picked up
+    other = os.path.join(icl_root, "living_room_traj2_frei_png")
+    shutil.copytree(traj, other)
+    os.rename(os.path.join(other, "livingRoom1.gt.freiburg"),
+              os.path.join(other, "livingRoom2.gt.freiburg"))
+
+    cfg = load_yaml(default_config_path())
+    cfg.DATA.name = "ICL"
+    cfg.DATA.data_path = str(tmp_path)
+    cfg.DATA.height, cfg.DATA.width = H, W
+    cfg.DATA.start, cfg.DATA.dilation, cfg.DATA.stride = 0, 0, 1
+    cfg.DATA.trajectories = "living_room_traj1_frei_png"
+    cfg.DEMO.sequence_length = 2
+
+    ds = make_dataset(cfg)
+    assert len(ds.windows) > 0
+    assert [os.path.basename(t) for t in ds.traj_dirs] == [
+        "living_room_traj1_frei_png"
+    ]
+
+    cfg.DATA.trajectories = None
+    ds_all = make_dataset(cfg)
+    assert {os.path.basename(t) for t in ds_all.traj_dirs} >= {
+        "living_room_traj1_frei_png", "living_room_traj2_frei_png"
+    }
+
+
 def test_icl_dataset_resized(tmp_path):
     H, W = 48, 64
     _make_icl_fixture(str(tmp_path), H=H, W=W)

@@ -152,10 +152,10 @@ def test_fuse_pair_builds_map(pair):
     cfg = small_config()
     engine, state = _engine_and_state(cfg)
     emap = empty_map(4 * H * W)
-    gmap = engine.fuse_pair(state, pair, emap, fuse_prev=True)
+    gmap, _ = engine.fuse_pair(state, pair, emap, fuse_prev=True)
     count1 = int(gmap.count)  # fuse_pair donates its map input; read first
     assert count1 > H * W  # both frames contributed
-    gmap2 = engine.fuse_pair(state, pair, gmap, fuse_prev=False)
+    gmap2, _ = engine.fuse_pair(state, pair, gmap, fuse_prev=False)
     assert int(gmap2.count) >= count1
 
 
@@ -255,6 +255,6 @@ def test_fuse_pair_with_gradicp_odometry():
     cfg.MODEL.odom = "gradicp"
     cfg.MODEL.numiters = 10
     engine, state = _engine_and_state(cfg)
-    gmap = engine.fuse_pair(state, p, empty_map(3 * H * W), fuse_prev=True)
+    gmap, est_pose = engine.fuse_pair(state, p, empty_map(3 * H * W), fuse_prev=True)
     assert int(gmap.count) > H * W
     assert np.all(np.isfinite(np.asarray(gmap.points)))

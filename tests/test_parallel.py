@@ -41,7 +41,7 @@ def test_parallel_refinement_independent_sequences():
 
     state = par.init_state(params, stats, (2, H, W))
     maps = par.init_maps()
-    maps = par.fuse_pair(state, pairs, maps, fuse_prev=True)
+    maps, _ = par.fuse_pair(state, pairs, maps, fuse_prev=True)
     rngs = shard_leading(mesh, jax.random.split(jax.random.key(1), N))
 
     state, metrics = par.refine_step(state, pairs, maps, rngs)
@@ -65,3 +65,113 @@ def test_parallel_refinement_independent_sequences():
     # must be populated.
     counts = np.asarray(jax.device_get(maps.count))
     assert np.all(counts > 0)
+
+
+class _ArrayDataset:
+    """Minimal dataset: one window holding a full sequence (for
+    OnlineAdaptation equality runs against ParallelAdaptation)."""
+
+    def __init__(self, colors01, depths, K, poses):
+        self._item = (
+            np.asarray(colors01) * 255.0,
+            np.asarray(depths),
+            np.asarray(K),
+            np.asarray(poses),
+            np.broadcast_to(np.eye(4, dtype=np.float32),
+                            poses.shape).copy(),
+        )
+
+    def __len__(self):
+        return 1
+
+    def __getitem__(self, i):
+        return self._item
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+def test_parallel_adaptation_matches_single_runs():
+    """End-to-end multi-sequence ParallelAdaptation == N separate
+    single-device OnlineAdaptation runs (VERDICT r1 item 7), with DISTINCT
+    per-sequence keyframe counts (masked stepping)."""
+    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+    from e2eslam_tpu.parallel.adaptation import ParallelAdaptation
+
+    cfg = load_yaml(default_config_path())
+    cfg.DATA.name = "synthetic"
+    cfg.DATA.height, cfg.DATA.width = H, W
+    cfg.DEMO.sequence_length = 6
+    cfg.DEMO.frame_threshold = 0.01
+    cfg.OPTIMIZATION.refinement_steps = 2
+    cfg.OPTIMIZATION.learning_rate = 1e-4
+    cfg.LOSS.three3d_loss = True
+    # rng-independent loss set so parallel/single RNG streams cannot diverge
+    cfg.LOSS.auto_masking = False
+    cfg.LOSS.min_reprojection = False
+    cfg.LOSS.supervise_depth = False
+    cfg.DEBUG.print_metrics = False
+
+    L = int(cfg.DEMO.sequence_length)
+    ds = SyntheticDataset(seqlen=L, height=H, width=W, dilation=0, stride=1,
+                          total_frames=L + 2)
+    colors, depths, K, poses, _ = ds[0]
+    colors = colors.astype(np.float32) / 255.0
+
+    # seq 0: full motion; seq 1: frozen tail (static last 3 frames -> fewer
+    # keyframes -> exercises the masked ragged schedule).
+    c1, d1, p1 = colors.copy(), depths.copy(), poses.copy()
+    c1[3:], d1[3:], p1[3:] = c1[2], d1[2], p1[2]
+    seq_colors = np.stack([colors, c1])
+    seq_depths = np.stack([depths, d1])
+    seq_poses = np.stack([poses, p1])
+    seq_K = np.stack([K, K])
+
+    model = make_depth_model(cfg)
+    params, stats = init_depth_model(model, jax.random.key(0), H, W)
+
+    mesh = make_mesh(2)
+    capacity = L * H * W
+    cfg.MODEL.map_capacity = capacity
+    par = ParallelAdaptation(cfg, model, map_capacity=capacity, mesh=mesh)
+    state = par.init_state(params, stats, (2, H, W))
+    out = par.run(
+        state, (seq_colors, seq_depths, seq_K, seq_poses),
+        threshold=float(cfg.DEMO.frame_threshold),
+    )
+
+    counts = [r["num_keyframes"] for r in out["per_sequence"]]
+    assert counts[0] > counts[1] >= 1, counts  # genuinely ragged schedules
+    assert out["num_events"] == max(counts)
+
+    # Reference: two independent single-device runs.
+    for i, (c, d, p) in enumerate(
+        [(colors, depths, poses), (c1, d1, p1)]
+    ):
+        single = OnlineAdaptation(
+            cfg, dataset=_ArrayDataset(c, d, K, p)
+        ).run(verbose=False)
+        par_res = out["per_sequence"][i]
+        assert single["num_keyframes"] == par_res["num_keyframes"]
+        assert single["keyframes"] == par_res["keyframes"]
+        single_abs = np.asarray(
+            [float(m["abs_rel"]) for m in single["metrics"]]
+        )
+        par_abs = np.asarray(par_res["per_pair_abs_rel"])
+        # First event: identical program state -> tight match. Later events:
+        # vmapped reductions reassociate floats and the adaptive loop
+        # amplifies them, so the trajectory is compared loosely.
+        np.testing.assert_allclose(single_abs[0], par_abs[0], rtol=1e-4)
+        np.testing.assert_allclose(single_abs, par_abs, atol=0.02)
+        np.testing.assert_allclose(
+            single["est_poses"], par_res["est_poses"], atol=1e-4
+        )
+
+    # Determinism contract: two IDENTICAL sequences on the mesh produce
+    # bitwise-identical per-sequence results.
+    out2 = par.run(
+        par.init_state(params, stats, (2, H, W)),
+        (np.stack([colors, colors]), np.stack([depths, depths]),
+         seq_K, np.stack([poses, poses])),
+        threshold=float(cfg.DEMO.frame_threshold),
+    )
+    a, b = out2["per_sequence"]
+    assert a["per_pair_abs_rel"] == b["per_pair_abs_rel"]
