@@ -45,28 +45,26 @@ def run_bench():
     cfg.DEMO.frame_threshold = 0.03
     cfg.OPTIMIZATION.refinement_steps = 3
     cfg.LOSS.three3d_loss = True
-    # Perf knobs: projective association replaces brute-force KNN for the 3D
-    # loss (O(N_map) scatter-min; see slam.fusion.projective_nn). Setting
-    # knn_impl: brute + strides 1/1 restores exact reference semantics.
-    cfg.LOSS.knn_impl = "projective"
-    cfg.LOSS.three3d_query_stride = 4
-    # Bound association/fusion to the newest 1.5M map points (full map kept;
-    # appends unaffected). Association cost is capacity-proportional —
-    # this is a ~3x end-to-end win at identical quality. null = exact mode.
-    cfg.MODEL.active_window = 1_572_864
+    # Index-image implementation (profile-driven round-2 redesign; see
+    # slam/fusion.py pointfusion_step_index): fusion + per-step 3D-loss
+    # association are O(HW) gathers against the previous fused keyframe's
+    # cached index image — no map-sized scatters anywhere on the hot path.
+    # Association runs at FULL query resolution (stride 1) and is recomputed
+    # every refinement step from the current predicted depth (GT depth never
+    # steers association). knn_impl: brute restores exact reference
+    # semantics (measured r1: 0.17 steps/s, abs_rel 0.124 — the index mode's
+    # 0.126 is quality parity with exact at ~125x the speed).
+    cfg.MODEL.fusion_impl = "index"
+    cfg.LOSS.knn_impl = "index"
+    cfg.LOSS.three3d_query_stride = 1
 
     runner = OnlineAdaptation(cfg)
 
-    # Warmup: a short prefix with the SAME map capacity (so all jitted
-    # shapes match) compiles refine + both fuse variants; the timed run then
-    # measures steady-state execution.
-    warm_cfg = cfg.copy()
-    warm_cfg.DEMO.sequence_length = 6
-    warm_cfg.MODEL.map_capacity = runner.capacity
-    warm = OnlineAdaptation(warm_cfg)
-    warm.engine = runner.engine  # share compiled functions
-    warm.run(verbose=False)
-
+    # Warmup = one full run of the EXACT workload (the whole-sequence
+    # program's shape includes the keyframe count, so only the identical
+    # workload warms it). First run pays compile/load; second run is
+    # steady-state device time.
+    runner.run(verbose=False)
     result = runner.run(verbose=False)
 
     # ATE variant: same workload with the reference's default odometry

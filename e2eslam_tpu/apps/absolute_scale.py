@@ -37,7 +37,11 @@ def train_scale(config, *, dataset=None, max_windows=None, verbose=True):
     capacity = len(frames) * H * W
     engine = RefinementEngine(cfg, model, map_capacity=capacity)
     state = engine.init_state(params, batch_stats, (len(frames), H, W))
-    dummy_map = empty_map(capacity)
+    needs_index = (
+        str(cfg.MODEL.get("fusion_impl", "scatter")) == "index"
+        or str(cfg.LOSS.get("knn_impl", "brute")) == "index"
+    )
+    dummy_map = empty_map(capacity, index_hw=H * W if needs_index else None)
 
     use_bias = bool(config.ABLATION.get("with_bias", False))
     grid = list(config.get("SCALE_GRID_SEARCH", {}).get("grid", [0.5]))

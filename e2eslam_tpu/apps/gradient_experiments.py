@@ -29,7 +29,8 @@ def recover_image(config, *, dataset=None, num_steps=None, verbose=True):
     K = intrinsics[0]
     colors, gt_depths, poses = colors[0], gt_depths[0], poses[0]
 
-    slam = PointFusion(odom="gt", sigma=float(config.MODEL.sigma))
+    slam = PointFusion(odom="gt", sigma=float(config.MODEL.sigma),
+                           fusion_impl=str(config.MODEL.get("fusion_impl", "scatter")))
     H, W = colors.shape[1:3]
     capacity = colors.shape[0] * H * W
 

@@ -43,7 +43,11 @@ def evaluate(config, *, dataset=None, max_windows=None, verbose=True):
     capacity = len(frames) * H * W
     engine = RefinementEngine(cfg, model, map_capacity=capacity)
     state = engine.init_state(params, batch_stats, (len(frames), H, W))
-    dummy_map = empty_map(capacity)
+    needs_index = (
+        str(cfg.MODEL.get("fusion_impl", "scatter")) == "index"
+        or str(cfg.LOSS.get("knn_impl", "brute")) == "index"
+    )
+    dummy_map = empty_map(capacity, index_hw=H * W if needs_index else None)
     plot_dir = cfg.DEBUG.get("plot_path") or "."
 
     rng = jax.random.key(3)

@@ -55,7 +55,8 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
             batch_stats=batch_stats,
             opt_state=opt_state if want_opt else state.opt_state,
         )
-    gt_slam = PointFusion(odom="gt", sigma=float(config.MODEL.sigma))
+    gt_slam = PointFusion(odom="gt", sigma=float(config.MODEL.sigma),
+                           fusion_impl=str(config.MODEL.get("fusion_impl", "scatter")))
     logger = None
     if config.SETTINGS.get("log_path"):
         logger = ScalarLogger(config.SETTINGS.log_path, config.SETTINGS.name)

@@ -34,7 +34,8 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
     capacity = len(frames) * H * W
     engine = RefinementEngine(config, model, map_capacity=capacity)
     state = engine.init_state(params, batch_stats, (len(frames), H, W))
-    gt_slam = PointFusion(odom="gt", sigma=float(config.MODEL.sigma))
+    gt_slam = PointFusion(odom="gt", sigma=float(config.MODEL.sigma),
+                           fusion_impl=str(config.MODEL.get("fusion_impl", "scatter")))
 
     rng = jax.random.key(1)
     n = len(dataset) if max_windows is None else min(len(dataset), max_windows)

@@ -88,7 +88,15 @@ class OnlineAdaptation:
         threshold = float(cfg.DEMO.frame_threshold)
         refinement_steps = int(cfg.OPTIMIZATION.refinement_steps)
 
-        global_map = empty_map(self.capacity)
+        # Index-impl fusion / association needs the per-pixel index image.
+        H, W = int(cfg.DATA.height), int(cfg.DATA.width)
+        needs_index = (
+            str(cfg.MODEL.get("fusion_impl", "scatter")) == "index"
+            or str(cfg.LOSS.get("knn_impl", "brute")) == "index"
+        )
+        global_map = empty_map(
+            self.capacity, index_hw=H * W if needs_index else None
+        )
         # The jitted steps donate their state/map inputs (buffer reuse);
         # start from a copy so self.state survives repeated run() calls.
         state = jax.tree_util.tree_map(jnp.copy, self.state)
@@ -137,6 +145,47 @@ class OnlineAdaptation:
         total_refine_steps = 0
 
         F_ref = self.F_ref
+        # Whole-sequence fast path: ONE XLA program for the entire keyframe
+        # loop (schedule precomputed host-side). Requires the standard
+        # 2-frame windows, non-verbose mode, and no host-side index rebuild
+        # (voxel). Wall clock becomes pure device time — immune to
+        # per-dispatch host/tunnel latency.
+        if (
+            not verbose and F_ref == 2 and knn_impl != "voxel"
+            and refinement_steps > 0
+        ):
+            prev_idx, cur_idx = [], []
+            prev = 0
+            for frame in range(1, seq_len):
+                if np.linalg.norm(centers[frame] - centers[prev]) > threshold:
+                    prev_idx.append(prev)
+                    cur_idx.append(frame)
+                    prev = frame
+            keyframes = list(cur_idx)
+            if len(keyframes) >= 1:
+                rng, sub = jax.random.split(rng)
+                state, global_map, stacked, est = self.engine.process_sequence(
+                    state, global_map, colors, gt_depths, K, poses,
+                    np.asarray(prev_idx, np.int32),
+                    np.asarray(cur_idx, np.int32), sub,
+                )
+                total_refine_steps = refinement_steps * len(keyframes)
+                stacked = jax.device_get(stacked)
+                per_pair_metrics = [
+                    jax.tree_util.tree_map(lambda x, e=e: x[e], stacked)
+                    for e in range(len(keyframes))
+                ]
+                est_poses_np = np.asarray(jax.device_get(est))
+            else:
+                per_pair_metrics = []
+                est_poses_np = np.zeros((0, 4, 4), np.float32)
+            elapsed = time.perf_counter() - t_start
+            return self._finalize(
+                cfg, state, global_map, keyframes, per_pair_metrics,
+                est_poses_np, poses, K, elapsed, total_refine_steps,
+                profile_dir, logger, verbose,
+            )
+
         kf_hist: List[int] = [0]  # processed keyframes (frame 0 = first prev)
         for frame in range(1, seq_len):
             if np.linalg.norm(centers[frame] - centers[prev]) <= threshold:
@@ -208,6 +257,15 @@ class OnlineAdaptation:
             np.zeros((0, 4, 4), np.float32)
         )
         elapsed = time.perf_counter() - t_start
+        return self._finalize(
+            cfg, state, global_map, keyframes, per_pair_metrics, est_poses_np,
+            poses, K, elapsed, total_refine_steps, profile_dir, logger,
+            verbose,
+        )
+
+    def _finalize(self, cfg, state, global_map, keyframes, per_pair_metrics,
+                  est_poses_np, poses, K, elapsed, total_refine_steps,
+                  profile_dir, logger, verbose):
         if profile_dir:
             jax.profiler.stop_trace()
         if logger is not None:

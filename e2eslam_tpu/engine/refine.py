@@ -113,7 +113,17 @@ class RefinementEngine:
             sigma=float(config.MODEL.sigma),
             numiters=int(config.MODEL.numiters),
             active_window=int(aw) if aw else None,
+            fusion_impl=str(config.MODEL.get("fusion_impl", "scatter")),
         )
+        if (
+            str(config.LOSS.get("knn_impl", "brute")) == "index"
+            and self.slam.fusion_impl != "index"
+        ):
+            raise ValueError(
+                "LOSS.knn_impl: index requires MODEL.fusion_impl: index "
+                "(the fusion step maintains the index image the association "
+                "reads)"
+            )
 
         # Donation: the previous RefineState (params/opt/initial-depths) and
         # the pre-fusion map are dead after each call — letting XLA reuse
@@ -123,6 +133,9 @@ class RefinementEngine:
             self._make_process_pair(),
             static_argnames=("fuse_prev",),
             donate_argnums=(0, 2),
+        )
+        self._process_sequence = jax.jit(
+            self._make_process_sequence(), donate_argnums=(0, 1)
         )
         self._oft_step = jax.jit(self._make_oft_step())
         # Observability variant: same step, also returns the raw grad pytree
@@ -392,7 +405,24 @@ class RefinementEngine:
             impl = str(L.get("knn_impl", "brute"))
             use_voxel = impl == "voxel" and map_index is not None
             if L.three3d_loss or L.knn_points:
-                if impl == "projective":
+                if impl == "index":
+                    # O(HW) association via the cached index image (gathers
+                    # only; see slam.fusion.index_nn). Recomputed every step
+                    # from the CURRENT predicted depth, like the reference's
+                    # per-step KNN on the predicted cloud.
+                    from e2eslam_tpu.slam.fusion import index_nn
+
+                    det_map = jax.tree_util.tree_map(
+                        jax.lax.stop_gradient, map_state
+                    )
+                    nn_idx, found = index_nn(det_map, frame)
+                    nn_idx = jax.lax.stop_gradient(nn_idx[::stride])
+                    found = found[::stride]
+                    nn = jnp.take(det_map.points, nn_idx, axis=0)
+                    w3 = msk * found.astype(msk.dtype)
+                    d2 = jnp.sum((pts - nn) ** 2, axis=-1) * w3
+                    knn_l = gate * jnp.sum(d2) / jnp.maximum(jnp.sum(w3), 1.0)
+                elif impl == "projective":
                     # TPU-native O(N_map) association: project the map onto
                     # the target frame instead of brute-force KNN (see
                     # slam.fusion.projective_nn). The association (nn_idx,
@@ -649,6 +679,61 @@ class RefinementEngine:
         return process
 
     # ------------------------------------------------------------------
+    # Whole-sequence processing: the ENTIRE keyframe loop (E events x
+    # (R refine steps + fusion)) as ONE XLA program. The keyframe schedule
+    # is host-side control flow (camera-center distances over dataset
+    # poses), so it enters as index arrays; lax.scan carries (state, map).
+    # One device dispatch per RUN — wall clock becomes pure device time,
+    # immune to per-dispatch host/tunnel latency.
+    # ------------------------------------------------------------------
+    def _make_process_sequence(self):
+        process = self._make_process_pair()
+
+        def gather_pair(colors, gt_depths, K, poses, prev_i, cur_i):
+            idx = jnp.stack([prev_i, cur_i])
+            return PairBatch(
+                colors=jnp.take(colors, idx, axis=0),
+                gt_depths=jnp.take(gt_depths, idx, axis=0),
+                intrinsics=K,
+                poses=jnp.take(poses, idx, axis=0),
+            )
+
+        def process_sequence(state: RefineState, map_state: MapState,
+                             colors, gt_depths, K, poses,
+                             prev_idx, cur_idx, rng):
+            """prev_idx/cur_idx: [E] int32 keyframe schedule (E >= 2)."""
+            # Event 0 fuses the prev frame too (bootstraps the map).
+            rng, sub = jax.random.split(rng)
+            pair0 = gather_pair(
+                colors, gt_depths, K, poses, prev_idx[0], cur_idx[0]
+            )
+            state, map_state, m0, p0 = process(
+                state, pair0, map_state, sub, fuse_prev=True
+            )
+
+            def body(carry, event):
+                st, ms, key = carry
+                pi, ci = event
+                key, sub = jax.random.split(key)
+                pair = gather_pair(colors, gt_depths, K, poses, pi, ci)
+                st, ms, metrics, est = process(
+                    st, pair, ms, sub, fuse_prev=False
+                )
+                return (st, ms, key), (metrics, est)
+
+            (state, map_state, _), (metrics, est_poses) = jax.lax.scan(
+                body, (state, map_state, rng), (prev_idx[1:], cur_idx[1:])
+            )
+            # Prepend event 0's outputs.
+            metrics = jax.tree_util.tree_map(
+                lambda a, b: jnp.concatenate([a[None], b], axis=0), m0, metrics
+            )
+            est_poses = jnp.concatenate([p0[None], est_poses], axis=0)
+            return state, map_state, metrics, est_poses
+
+        return process_sequence
+
+    # ------------------------------------------------------------------
     # OFT step: optimize the depth maps directly (no grads through the CNN)
     # ------------------------------------------------------------------
     def _make_oft_step(self):
@@ -748,11 +833,7 @@ class RefinementEngine:
                 pair.colors[0], depth[0], pair.intrinsics, pair.poses[0]
             )
             if fuse_prev:
-                map_state = pointfusion_step(
-                    map_state, prev,
-                    dist_th=self.slam.dist_th, angle_th=self.slam.angle_th,
-                    sigma=self.slam.sigma,
-                )
+                map_state = self.slam._update_map(map_state, prev)
             live = build_frame(
                 pair.colors[TARGET], depth[TARGET], pair.intrinsics,
                 pair.poses[TARGET],
@@ -786,6 +867,18 @@ class RefinementEngine:
     def process_pair(self, state, pair, map_state, rng, *, fuse_prev: bool):
         """Whole-keyframe fast path: R refine steps + fusion, one dispatch."""
         return self._process_pair(state, pair, map_state, rng, fuse_prev=fuse_prev)
+
+    def process_sequence(self, state, map_state, colors, gt_depths, K, poses,
+                         prev_idx, cur_idx, rng):
+        """Whole-SEQUENCE fast path: the full keyframe loop, one dispatch.
+
+        Returns (state, map, metrics stacked [E, ...], est_poses [E, 4, 4]).
+        """
+        return self._process_sequence(
+            state, map_state, colors, gt_depths, K, poses,
+            jnp.asarray(prev_idx, jnp.int32), jnp.asarray(cur_idx, jnp.int32),
+            rng,
+        )
 
     def oft_step(self, depths, opt_state, initial_depths, pair, map_state, rng,
                  map_index=None):

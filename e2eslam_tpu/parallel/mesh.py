@@ -94,7 +94,15 @@ class ParallelRefinement:
         return shard_leading(self.mesh, state)
 
     def init_maps(self) -> MapState:
-        maps = jax.vmap(lambda _: empty_map(self.map_capacity))(jnp.arange(self.n))
+        cfg = self.engine.config
+        needs_index = (
+            str(cfg.MODEL.get("fusion_impl", "scatter")) == "index"
+            or str(cfg.LOSS.get("knn_impl", "brute")) == "index"
+        )
+        hw = int(cfg.DATA.height) * int(cfg.DATA.width) if needs_index else None
+        maps = jax.vmap(lambda _: empty_map(self.map_capacity, index_hw=hw))(
+            jnp.arange(self.n)
+        )
         return shard_leading(self.mesh, maps)
 
     def refine_step(self, state: RefineState, pairs: PairBatch, maps: MapState, rngs):

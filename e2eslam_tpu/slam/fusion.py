@@ -170,6 +170,155 @@ def projective_nn(state: MapState, frame: RGBDFrame, *, active_window=None):
     return start + jnp.minimum(best_idx, N - 1), found
 
 
+def _project_pixels(points: Array, pose: Array, intrinsics: Array,
+                    H: int, W: int):
+    """Project world points into a camera. Returns (pix [N], in_frame [N])."""
+    K = intrinsics
+    p_cam = transform_points(se3_inverse(pose), points)
+    z = p_cam[:, 2]
+    safe_z = jnp.where(jnp.abs(z) > 1e-8, z, 1e-8)
+    u = K[0, 0] * p_cam[:, 0] / safe_z + K[0, 2]
+    v = K[1, 1] * p_cam[:, 1] / safe_z + K[1, 2]
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    in_frame = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (z > 0)
+    pix = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)
+    return pix, in_frame
+
+
+def index_nn(state: MapState, frame: RGBDFrame):
+    """3D-loss association via the cached index image: O(HW) gathers.
+
+    For each live pixel, project its (predicted) world vertex into the LAST
+    fused keyframe's camera and look up that pixel's map slot in
+    ``state.index_image``. Pure gather — no map-sized scatters — so its cost
+    is independent of map size. Approximates ``projective_nn`` (candidates
+    limited to points visible in the last fused keyframe, the natural active
+    window for sequential adaptation); exact modes remain available via
+    ``LOSS.knn_impl: brute``.
+
+    Returns (nn_idx [HW] int32 clipped valid, found [HW] bool).
+    """
+    assert state.index_image is not None, (
+        "index_nn requires a map built with index_hw (MODEL.fusion_impl: "
+        "index)"
+    )
+    H, W = frame.depth.shape[:2]
+    live = frame_pointcloud(frame)
+    q, in_prev = _project_pixels(
+        live.points, state.index_pose, frame.intrinsics, H, W
+    )
+    cand = jnp.take(state.index_image, q)
+    found = in_prev & (cand >= 0) & (live.mask > 0)
+    N = state.points.shape[0]
+    return jnp.clip(cand, 0, N - 1), found
+
+
+def pointfusion_step_index(
+    state: MapState,
+    frame: RGBDFrame,
+    *,
+    dist_th: float = 0.05,
+    angle_th: Optional[float] = 20.0,
+    sigma: float = 0.6,
+) -> MapState:
+    """Index-image PointFusion: association by gather, fusion by 82k-update
+    scatter-adds — no O(N_map)-update scatters anywhere.
+
+    TPU-first redesign of :func:`pointfusion_step` (profile-driven, round 2):
+    the scatter-min candidate ranking over the full map window dominated the
+    keyframe budget (~95 ms/keyframe of serialized scatter fusions on v5e).
+    Here each live pixel finds its candidate map point by projecting into the
+    PREVIOUS fused keyframe's camera and reading the cached ``index_image``
+    — conceptually rendering the model into an index map, maintained
+    incrementally like Keller-style real-time fusion systems do.
+
+    Divergences from the scatter implementation (both documented, both
+    bounded by sequential-camera overlap):
+      * candidates are limited to map points visible in the previous fused
+        keyframe (implicit active window);
+      * when several live pixels match the SAME map slot, all of them merge
+        into it (confidence-weighted), instead of only the closest winner.
+
+    Gradients flow through live vertices/colors and the merged map exactly as
+    in the scatter implementation.
+    """
+    H, W = frame.depth.shape[:2]
+    HW = H * W
+    N = state.points.shape[0]
+    assert state.index_image is not None, (
+        "pointfusion_step_index requires empty_map(..., index_hw=H*W)"
+    )
+
+    live = frame_pointcloud(frame)
+    alpha = _pixel_alpha(H, W, frame.intrinsics, sigma) * live.mask  # [HW]
+
+    # ---- 1. associate: gather candidate slots via the prev index image ----
+    q, in_prev = _project_pixels(
+        live.points, state.index_pose, frame.intrinsics, H, W
+    )
+    cand = jnp.take(state.index_image, q)  # [HW] slot or -1
+    cand_c = jnp.clip(cand, 0, N - 1)
+    has_cand = in_prev & (cand >= 0) & (live.mask > 0)
+    m_pt = jnp.take(state.points, cand_c, axis=0)
+    dist = jnp.linalg.norm(live.points - m_pt, axis=-1)
+    similar = has_cand & (dist < dist_th)
+    if angle_th is not None:
+        m_n = jnp.take(state.normals, cand_c, axis=0)
+        ndot = jnp.sum(live.normals * m_n, axis=-1)
+        similar = similar & (ndot > jnp.cos(jnp.deg2rad(angle_th)))
+
+    # ---- 2. confidence-weighted merge via scatter-add accumulators --------
+    w = jnp.where(similar, alpha, 0.0)  # [HW] measurement weight
+    tgt = jnp.where(similar, cand_c, N)  # out-of-range -> dropped
+    den = jnp.zeros((N,), live.points.dtype).at[tgt].add(w, mode="drop")
+    def acc(values):
+        return jnp.zeros((N, 3), live.points.dtype).at[tgt].add(
+            w[:, None] * values, mode="drop"
+        )
+    c = state.confidence
+    wsum = jnp.maximum(c + den, 1e-12)[:, None]
+    touched = den > 0
+    def fuse(old, num):
+        fused = (c[:, None] * old + num) / wsum
+        return jnp.where(touched[:, None], fused, old)
+    points = fuse(state.points, acc(live.points))
+    colors = fuse(state.colors, acc(live.colors))
+    normals_raw = fuse(state.normals, acc(live.normals))
+    nnorm = jnp.linalg.norm(normals_raw, axis=-1, keepdims=True)
+    normals = jnp.where(
+        nnorm > 1e-12, normals_raw / jnp.maximum(nnorm, 1e-12), normals_raw
+    )
+    confidence = c + den
+
+    # ---- 3. append unmatched valid pixels --------------------------------
+    new_mask = (live.mask > 0) & ~similar
+    order = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
+    dest = state.count + order
+    ok = new_mask & (dest < N)
+    dest = jnp.where(ok, dest, N)
+    points = points.at[dest].set(live.points, mode="drop")
+    colors = colors.at[dest].set(live.colors, mode="drop")
+    normals = normals.at[dest].set(live.normals, mode="drop")
+    confidence = confidence.at[dest].set(alpha, mode="drop")
+    count = jnp.minimum(state.count + jnp.sum(new_mask.astype(jnp.int32)), N)
+
+    # ---- 4. refresh the index image for THIS keyframe --------------------
+    new_index = jnp.where(
+        similar, cand_c, jnp.where(ok, dest, jnp.int32(-1))
+    ).astype(jnp.int32)
+
+    return MapState(
+        points=points,
+        normals=normals,
+        colors=colors,
+        confidence=confidence,
+        count=count,
+        index_image=new_index,
+        index_pose=frame.pose.astype(state.index_pose.dtype),
+    )
+
+
 def pointfusion_step(
     state: MapState,
     frame: RGBDFrame,
@@ -258,4 +407,6 @@ def pointfusion_step(
         colors=colors,
         confidence=confidence,
         count=count,
+        index_image=state.index_image,  # pass-through (index impl maintains)
+        index_pose=state.index_pose,
     )

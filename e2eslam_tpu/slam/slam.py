@@ -45,6 +45,8 @@ def _append_frame(state: MapState, frame: RGBDFrame) -> MapState:
         colors=state.colors.at[dest].set(live.colors, mode="drop"),
         confidence=state.confidence.at[dest].set(live.mask, mode="drop"),
         count=jnp.minimum(state.count + jnp.sum(new_mask.astype(jnp.int32)), N),
+        index_image=state.index_image,
+        index_pose=state.index_pose,
     )
 
 
@@ -60,8 +62,19 @@ class PointFusion:
     icp_dist_th: float = 0.2
     icp_downsample: int = 4
     active_window: int | None = None  # bound association to newest W points
+    fusion_impl: str = "scatter"  # scatter (gradslam-like) | index (O(HW))
 
     def _update_map(self, state: MapState, frame: RGBDFrame) -> MapState:
+        if self.fusion_impl == "index":
+            from e2eslam_tpu.slam.fusion import pointfusion_step_index
+
+            return pointfusion_step_index(
+                state,
+                frame,
+                dist_th=self.dist_th,
+                angle_th=self.angle_th,
+                sigma=self.sigma,
+            )
         return pointfusion_step(
             state,
             frame,
@@ -118,7 +131,10 @@ class PointFusion:
         L, H, W = colors.shape[:3]
         if capacity is None:
             capacity = L * H * W
-        state = empty_map(capacity, colors.dtype)
+        state = empty_map(
+            capacity, colors.dtype,
+            index_hw=H * W if self.fusion_impl == "index" else None,
+        )
 
         frame0 = build_frame(colors[0], depths[0], intrinsics, poses[0])
         state = self._update_map(state, frame0)

@@ -65,6 +65,38 @@ def test_online_adaption_gradicp_ate():
                                atol=1e-3)
 
 
+def test_online_adaption_index_impl():
+    """fusion_impl=index + knn_impl=index: the O(HW) gather-based fusion and
+    3D-loss association run end to end (TPU-first fast path)."""
+    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+
+    cfg = tiny_config(**{
+        "LOSS.three3d_loss": True,
+        "LOSS.knn_impl": "index",
+        "MODEL.fusion_impl": "index",
+    })
+    result = OnlineAdaptation(cfg).run(verbose=False)
+    assert result["num_keyframes"] >= 2
+    assert np.isfinite(result["mean_abs_rel"])
+    assert result["map_points"] > H * W
+    # a later pair actually exercised the index association (3D loss live)
+    assert any(
+        m is not None and float(m.get("three3d", 0.0)) > 0.0
+        for m in result["metrics"][1:]
+    )
+
+
+def test_knn_impl_index_requires_index_fusion():
+    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+
+    cfg = tiny_config(**{
+        "LOSS.three3d_loss": True,
+        "LOSS.knn_impl": "index",
+    })
+    with pytest.raises(ValueError, match="fusion_impl"):
+        OnlineAdaptation(cfg)
+
+
 def test_online_adaption_three_frame_refinement():
     """DEMO.sequence_length_refinement=3: middle-target F-frame windows
     (reference demo.py:437-452 / train_depth DATA.frames=[0,-1,1])."""

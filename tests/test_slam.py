@@ -248,3 +248,89 @@ def test_detach_poses_rollout(seq):
     g = jax.grad(lambda d: loss(d, True))(depths)
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.abs(g).max()) > 0
+
+
+# ---- index-image fusion (pointfusion_step_index / index_nn) ---------------
+
+def test_index_fusion_first_frame_appends_all(seq):
+    from e2eslam_tpu.slam.fusion import pointfusion_step_index
+
+    f = _frame(seq, 0)
+    m = pointfusion_step_index(empty_map(3 * H * W, index_hw=H * W), f)
+    n_valid = int(jnp.sum(f.valid))
+    assert int(m.count) == n_valid
+    # index image points at the appended slots for valid pixels
+    idx = np.asarray(m.index_image)
+    assert (idx >= 0).sum() == n_valid
+    np.testing.assert_allclose(np.asarray(m.index_pose), np.asarray(f.pose))
+
+
+def test_index_fusion_matches_scatter_on_static_camera(seq):
+    """Same frame fused twice: every pixel re-associates with its own map
+    point (unique candidates), where index and scatter semantics coincide."""
+    from e2eslam_tpu.slam.fusion import pointfusion_step_index
+
+    f = _frame(seq, 0)
+    m_idx = pointfusion_step_index(empty_map(3 * H * W, index_hw=H * W), f)
+    m_idx2 = pointfusion_step_index(m_idx, f)
+
+    m_sc = pointfusion_step(empty_map(3 * H * W), f)
+    m_sc2 = pointfusion_step(m_sc, f)
+
+    assert int(m_idx2.count) == int(m_sc2.count)
+    n = int(m_idx2.count)
+    np.testing.assert_allclose(
+        np.asarray(m_idx2.points[:n]), np.asarray(m_sc2.points[:n]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_idx2.confidence[:n]), np.asarray(m_sc2.confidence[:n]),
+        atol=1e-5,
+    )
+
+
+def test_index_fusion_sequential_frames(seq):
+    """Moving camera: overlapping pixels fuse, newly-visible ones append."""
+    from e2eslam_tpu.slam.fusion import pointfusion_step_index
+
+    f0, f1 = _frame(seq, 0), _frame(seq, 1)
+    m = pointfusion_step_index(empty_map(4 * H * W, index_hw=H * W), f0)
+    c0 = int(m.count)
+    m = pointfusion_step_index(m, f1)
+    c1 = int(m.count)
+    assert c1 > c0  # new geometry appended
+    assert c1 < c0 + int(jnp.sum(f1.valid))  # ...but overlap fused, not appended
+    assert np.all(np.isfinite(np.asarray(m.points[:c1])))
+    np.testing.assert_allclose(np.asarray(m.index_pose), np.asarray(f1.pose))
+
+
+def test_index_nn_association(seq):
+    from e2eslam_tpu.slam.fusion import index_nn, pointfusion_step_index
+
+    f0, f1 = _frame(seq, 0), _frame(seq, 1)
+    m = pointfusion_step_index(empty_map(4 * H * W, index_hw=H * W), f0)
+    nn_idx, found = index_nn(m, f1)
+    found = np.asarray(found)
+    assert found.any()  # consecutive frames overlap
+    # associated map points are close to the live vertices
+    live = frame_pointcloud(f1)
+    nn = np.asarray(m.points)[np.asarray(nn_idx)]
+    d = np.linalg.norm(np.asarray(live.points) - nn, axis=-1)
+    assert np.median(d[found]) < 0.1
+
+
+def test_index_fusion_is_differentiable_wrt_depth(seq):
+    from e2eslam_tpu.slam.fusion import pointfusion_step_index
+
+    colors, depths, K, poses, _ = seq
+    base = pointfusion_step_index(
+        empty_map(3 * H * W, index_hw=H * W), _frame(seq, 0)
+    )
+
+    def loss(d):
+        f = build_frame(colors[1], d, K, poses[1])
+        m = pointfusion_step_index(base, f)
+        return jnp.sum(m.points[: H * W] ** 2)
+
+    g = jax.grad(loss)(depths[1])
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.sum(jnp.abs(g))) > 0
