@@ -268,28 +268,37 @@ def pointfusion_step_index(
         ndot = jnp.sum(live.normals * m_n, axis=-1)
         similar = similar & (ndot > jnp.cos(jnp.deg2rad(angle_th)))
 
-    # ---- 2. confidence-weighted merge via scatter-add accumulators --------
-    w = jnp.where(similar, alpha, 0.0)  # [HW] measurement weight
+    # ---- 2. confidence-weighted merge, gather-modify-scatter --------------
+    # The fused value for each live pixel's candidate slot is computed
+    # PIXEL-SIDE from the already-gathered map values, then scattered back
+    # as an 82k-row update — the map buffers are never traversed wholesale
+    # (the earlier scatter-add-accumulator formulation cost five full-map
+    # passes per keyframe, ~42 ms on v5e; this is the profile-driven fix).
+    # Duplicate candidates (two live pixels matching the same slot) resolve
+    # last-writer-wins — one measurement is dropped for that slot this
+    # keyframe; the scatter impl keeps a strict bijection instead.
+    c_cand = jnp.take(state.confidence, cand_c)  # [HW]
+    wsum = jnp.maximum(c_cand + alpha, 1e-12)
     tgt = jnp.where(similar, cand_c, N)  # out-of-range -> dropped
-    den = jnp.zeros((N,), live.points.dtype).at[tgt].add(w, mode="drop")
-    def acc(values):
-        return jnp.zeros((N, 3), live.points.dtype).at[tgt].add(
-            w[:, None] * values, mode="drop"
-        )
-    c = state.confidence
-    wsum = jnp.maximum(c + den, 1e-12)[:, None]
-    touched = den > 0
-    def fuse(old, num):
-        fused = (c[:, None] * old + num) / wsum
-        return jnp.where(touched[:, None], fused, old)
-    points = fuse(state.points, acc(live.points))
-    colors = fuse(state.colors, acc(live.colors))
-    normals_raw = fuse(state.normals, acc(live.normals))
-    nnorm = jnp.linalg.norm(normals_raw, axis=-1, keepdims=True)
-    normals = jnp.where(
-        nnorm > 1e-12, normals_raw / jnp.maximum(nnorm, 1e-12), normals_raw
+
+    def fuse(old_vals, new_vals, buffer):
+        fused = (
+            c_cand[:, None] * old_vals + alpha[:, None] * new_vals
+        ) / wsum[:, None]
+        return buffer.at[tgt].set(fused, mode="drop")
+
+    points = fuse(m_pt, live.points, state.points)
+    colors = fuse(
+        jnp.take(state.colors, cand_c, axis=0), live.colors, state.colors
     )
-    confidence = c + den
+    m_n_all = jnp.take(state.normals, cand_c, axis=0)
+    n_raw = (
+        c_cand[:, None] * m_n_all + alpha[:, None] * live.normals
+    ) / wsum[:, None]
+    nnorm = jnp.linalg.norm(n_raw, axis=-1, keepdims=True)
+    n_unit = jnp.where(nnorm > 1e-12, n_raw / jnp.maximum(nnorm, 1e-12), n_raw)
+    normals = state.normals.at[tgt].set(n_unit, mode="drop")
+    confidence = state.confidence.at[tgt].set(wsum, mode="drop")
 
     # ---- 3. append unmatched valid pixels --------------------------------
     new_mask = (live.mask > 0) & ~similar

@@ -215,3 +215,81 @@ def test_convert_rejects_shape_mismatch():
     bad = {"encoder.conv1.weight": np.zeros((64, 3, 5, 5), np.float32)}
     with pytest.raises((ValueError, KeyError)):
         convert_torch_state_dict(bad, params, stats, strict=True)
+
+
+def test_monodepth2_per_module_checkpoint_loading(tmp_path):
+    """Per-module {name}.pth loading against the torch oracle (reference
+    train_depth.py:798-822): encoder.pth is a bare torchvision state dict
+    plus junk metadata keys; depth.pth holds the decoder; load_depth_weights
+    merges both and the converted monodepth2 net matches the oracle."""
+    import os
+
+    torch, FullIndoor = _build_torch_oracle()
+    # Emulate a monodepth2 net by reusing the oracle's modules; the
+    # monodepth2-style sigmoid decoder forward is defined below.
+    oracle = FullIndoor().eval()
+    torch.manual_seed(1)
+    with torch.no_grad():
+        for m in oracle.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.2, 0.2)
+                m.running_var.uniform_(0.5, 1.5)
+
+    enc_sd = dict(oracle.encoder.state_dict())
+    enc_sd["height"] = torch.tensor(H)  # monodepth2 junk metadata
+    enc_sd["width"] = torch.tensor(W)
+    enc_sd["use_stereo"] = torch.tensor(False)
+    dec_sd = {f"decoder.{k.split('.', 1)[1]}" if k.startswith("decoder.") else k: v
+              for k, v in oracle.decoder.state_dict().items()}
+    torch.save(enc_sd, os.path.join(tmp_path, "encoder.pth"))
+    torch.save(dec_sd, os.path.join(tmp_path, "depth.pth"))
+
+    from e2eslam_tpu.config import default_config_path, load_yaml
+    from e2eslam_tpu.models.convert import load_depth_weights
+    from e2eslam_tpu.models.depth_net import make_depth_model
+
+    cfg = load_yaml(default_config_path())
+    cfg.MODEL.depth_network = "monodepth2"
+    cfg.MODEL.num_layers = 18
+    cfg.MODEL.use_pretrained_models = True
+    cfg.MODEL.load_depth_path = str(tmp_path)
+    cfg.DATA.scales = [0, 1, 2, 3]
+
+    model = make_depth_model(cfg)
+    params, stats = init_depth_model(model, jax.random.key(0), H, W)
+    params, stats = load_depth_weights(cfg, params, stats)
+
+    def oracle_monodepth2_scale0(x):
+        """Monodepth2 decoder forward on the oracle modules: sigmoid heads
+        at scales 0..3 (the shared Decoder class only emits scale-4 heads in
+        indoor mode); returns the scale-0 disparity."""
+        import torch.nn.functional as tF
+
+        feats = oracle.encoder(x)
+        h = feats[-1]
+        dec = oracle.decoder.decoder
+        for i in range(4, -1, -1):
+            h = dec[(4 - i) * 2](h)
+            h = tF.interpolate(h, scale_factor=2, mode="nearest")
+            if i > 0:
+                h = torch.cat([h, feats[i - 1]], 1)
+            h = dec[(4 - i) * 2 + 1](h)
+            if i == 0:
+                return torch.sigmoid(dec[10](h))
+        raise AssertionError
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 1, size=(1, H, W, 3)).astype(np.float32)
+    ours = np.asarray(
+        model.apply(
+            {"params": params, "batch_stats": stats}, jnp.asarray(x),
+            train=False,
+        )[0]
+    )
+    with torch.no_grad():
+        theirs = (
+            oracle_monodepth2_scale0(torch.from_numpy(x).permute(0, 3, 1, 2))
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)

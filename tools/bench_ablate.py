@@ -38,13 +38,9 @@ def run(cfg, tag):
     from e2eslam_tpu.engine.adaptation import OnlineAdaptation
 
     runner = OnlineAdaptation(cfg)
-    warm_cfg = cfg.copy()
-    warm_cfg.DEMO.sequence_length = 8
-    warm_cfg.MODEL.map_capacity = runner.capacity
-    warm = OnlineAdaptation(warm_cfg)
-    warm.engine = runner.engine  # share executables: the timed run must not
-    warm.F_ref = runner.F_ref    # pay first-call program loading (bench.py)
-    warm.run(verbose=False)
+    # Warm = one full identical run (the whole-sequence program's shape
+    # includes the keyframe count); the reported run is steady-state.
+    runner.run(verbose=False)
     r = runner.run(verbose=False)
     out = {
         "variant": tag,
@@ -98,3 +94,32 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+def trace_flagship():
+    """Profiled short run of the CURRENT flagship bench config."""
+    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+
+    cfg = bench_cfg()
+    cfg.MODEL.fusion_impl = "index"
+    cfg.LOSS.knn_impl = "index"
+    cfg.LOSS.three3d_query_stride = 1
+    runner = OnlineAdaptation(cfg)
+    runner.run(verbose=False)  # warm (compile E=59 program)
+    cfg2 = bench_cfg()
+    cfg2.MODEL.fusion_impl = "index"
+    cfg2.LOSS.knn_impl = "index"
+    cfg2.LOSS.three3d_query_stride = 1
+    cfg2.VIZ.profile_dir = "/tmp/flagship_trace"
+    runner2 = OnlineAdaptation(cfg2)
+    runner2.engine = runner.engine
+    runner2.F_ref = runner.F_ref
+    r = runner2.run(verbose=False)
+    print(f"RESULT flagship_trace {r['steps_per_sec']:.2f} steps/s")
+
+def bf16_variant():
+    cfg = bench_cfg()
+    cfg.MODEL.fusion_impl = "index"
+    cfg.LOSS.knn_impl = "index"
+    cfg.LOSS.three3d_query_stride = 1
+    cfg.SETTINGS.compute_dtype = "bfloat16"
+    run(cfg, "index_bf16")
