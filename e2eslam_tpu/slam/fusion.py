@@ -222,8 +222,8 @@ def pointfusion_step_index(
     angle_th: Optional[float] = 20.0,
     sigma: float = 0.6,
 ) -> MapState:
-    """Index-image PointFusion: association by gather, fusion by 82k-update
-    scatter-adds — no O(N_map)-update scatters anywhere.
+    """Index-image PointFusion: association by gather, fusion by 82k-row
+    scatter-sets — no O(N_map)-update scatters or full-map passes anywhere.
 
     TPU-first redesign of :func:`pointfusion_step` (profile-driven, round 2):
     the scatter-min candidate ranking over the full map window dominated the
