@@ -21,6 +21,9 @@ class Demo(OnlineAdaptation):
 
     def __init__(self, config, **kwargs):
         super().__init__(config, **kwargs)
+        # Per-keyframe snapshot hooks need the per-keyframe engine calls —
+        # opt out of the whole-sequence single-dispatch program.
+        self.use_sequence_program = False
         self.snapshots = []
         original_fuse = self.engine.fuse_pair
         original_process = self.engine.process_pair

@@ -153,6 +153,7 @@ class OnlineAdaptation:
         if (
             not verbose and F_ref == 2 and knn_impl != "voxel"
             and refinement_steps > 0
+            and getattr(self, "use_sequence_program", True)
         ):
             prev_idx, cur_idx = [], []
             prev = 0

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from e2eslam_tpu.core.se3 import se3_inverse, transform_points
-from e2eslam_tpu.slam.pointclouds import MapState
+from e2eslam_tpu.slam.pointclouds import MapState, pack_rows
 from e2eslam_tpu.slam.rgbd import RGBDFrame
 
 Array = jax.Array
@@ -85,7 +85,7 @@ def _associate(
     """
     H, W = frame.depth.shape[:2]
     HW = H * W
-    N = state.points.shape[0]
+    N = state.data.shape[0]
     K = frame.intrinsics
 
     inv_pose = se3_inverse(frame.pose)
@@ -128,18 +128,12 @@ def _window_view(state: MapState, window: int):
     active/inactive surfel split). Returns (start, sub_state) where
     ``sub_state`` has capacity ``window`` and ``count`` = its valid prefix.
     """
-    N = state.points.shape[0]
+    N = state.data.shape[0]
     start = jnp.clip(state.count - window, 0, max(N - window, 0))
-
-    def sl(x):
-        sizes = (window,) + x.shape[1:]
-        return jax.lax.dynamic_slice(x, (start,) + (0,) * (x.ndim - 1), sizes)
-
     sub = MapState(
-        points=sl(state.points),
-        normals=sl(state.normals),
-        colors=sl(state.colors),
-        confidence=sl(state.confidence),
+        data=jax.lax.dynamic_slice(
+            state.data, (start, 0), (window, state.data.shape[1])
+        ),
         count=jnp.minimum(state.count - start, window),
     )
     return start, sub
@@ -159,13 +153,13 @@ def projective_nn(state: MapState, frame: RGBDFrame, *, active_window=None):
     Returns (nn_idx [HW] int32 clipped to valid range, found [HW] bool).
     """
     start = 0
-    if active_window is not None and active_window < state.points.shape[0]:
+    if active_window is not None and active_window < state.data.shape[0]:
         start, state = _window_view(state, int(active_window))
     live = frame_pointcloud(frame)
     _, _, best_idx, _ = _associate(
         state, frame, live, dist_th=jnp.inf, angle_th=None
     )
-    N = state.points.shape[0]
+    N = state.data.shape[0]
     found = best_idx < N
     return start + jnp.minimum(best_idx, N - 1), found
 
@@ -210,7 +204,7 @@ def index_nn(state: MapState, frame: RGBDFrame):
     )
     cand = jnp.take(state.index_image, q)
     found = in_prev & (cand >= 0) & (live.mask > 0)
-    N = state.points.shape[0]
+    N = state.data.shape[0]
     return jnp.clip(cand, 0, N - 1), found
 
 
@@ -245,7 +239,7 @@ def pointfusion_step_index(
     """
     H, W = frame.depth.shape[:2]
     HW = H * W
-    N = state.points.shape[0]
+    N = state.data.shape[0]
     assert state.index_image is not None, (
         "pointfusion_step_index requires empty_map(..., index_hw=H*W)"
     )
@@ -260,45 +254,40 @@ def pointfusion_step_index(
     cand = jnp.take(state.index_image, q)  # [HW] slot or -1
     cand_c = jnp.clip(cand, 0, N - 1)
     has_cand = in_prev & (cand >= 0) & (live.mask > 0)
-    m_pt = jnp.take(state.points, cand_c, axis=0)
+    cand_rows = jnp.take(state.data, cand_c, axis=0)  # ONE packed gather
+    m_pt = cand_rows[:, 0:3]
+    m_n = cand_rows[:, 3:6]
+    m_clr = cand_rows[:, 6:9]
+    c_cand = cand_rows[:, 9]
     dist = jnp.linalg.norm(live.points - m_pt, axis=-1)
     similar = has_cand & (dist < dist_th)
     if angle_th is not None:
-        m_n = jnp.take(state.normals, cand_c, axis=0)
         ndot = jnp.sum(live.normals * m_n, axis=-1)
         similar = similar & (ndot > jnp.cos(jnp.deg2rad(angle_th)))
 
     # ---- 2. confidence-weighted merge, gather-modify-scatter --------------
-    # The fused value for each live pixel's candidate slot is computed
-    # PIXEL-SIDE from the already-gathered map values, then scattered back
-    # as an 82k-row update — the map buffers are never traversed wholesale
-    # (the earlier scatter-add-accumulator formulation cost five full-map
-    # passes per keyframe, ~42 ms on v5e; this is the profile-driven fix).
-    # Duplicate candidates (two live pixels matching the same slot) resolve
-    # last-writer-wins — one measurement is dropped for that slot this
-    # keyframe; the scatter impl keeps a strict bijection instead.
-    c_cand = jnp.take(state.confidence, cand_c)  # [HW]
+    # The fused row for each live pixel's candidate slot is computed
+    # PIXEL-SIDE from the packed gathered row, then scattered back as ONE
+    # 82k-row packed update. Duplicate candidates (two live pixels matching
+    # the same slot) resolve last-writer-wins — one measurement is dropped
+    # for that slot this keyframe; the scatter impl keeps a strict bijection.
     wsum = jnp.maximum(c_cand + alpha, 1e-12)
     tgt = jnp.where(similar, cand_c, N)  # out-of-range -> dropped
 
-    def fuse(old_vals, new_vals, buffer):
-        fused = (
+    def blend(old_vals, new_vals):
+        return (
             c_cand[:, None] * old_vals + alpha[:, None] * new_vals
         ) / wsum[:, None]
-        return buffer.at[tgt].set(fused, mode="drop")
 
-    points = fuse(m_pt, live.points, state.points)
-    colors = fuse(
-        jnp.take(state.colors, cand_c, axis=0), live.colors, state.colors
+    f_pt = blend(m_pt, live.points)
+    n_raw = blend(m_n, live.normals)
+    n2 = jnp.sum(n_raw * n_raw, axis=-1, keepdims=True)
+    f_n = jnp.where(
+        n2 > 1e-24, n_raw / jnp.sqrt(jnp.where(n2 > 1e-24, n2, 1.0)), n_raw
     )
-    m_n_all = jnp.take(state.normals, cand_c, axis=0)
-    n_raw = (
-        c_cand[:, None] * m_n_all + alpha[:, None] * live.normals
-    ) / wsum[:, None]
-    nnorm = jnp.linalg.norm(n_raw, axis=-1, keepdims=True)
-    n_unit = jnp.where(nnorm > 1e-12, n_raw / jnp.maximum(nnorm, 1e-12), n_raw)
-    normals = state.normals.at[tgt].set(n_unit, mode="drop")
-    confidence = state.confidence.at[tgt].set(wsum, mode="drop")
+    f_clr = blend(m_clr, live.colors)
+    fused_rows = pack_rows(f_pt, f_n, f_clr, wsum)
+    data = state.data.at[tgt].set(fused_rows, mode="drop")
 
     # ---- 3. append unmatched valid pixels --------------------------------
     new_mask = (live.mask > 0) & ~similar
@@ -306,10 +295,8 @@ def pointfusion_step_index(
     dest = state.count + order
     ok = new_mask & (dest < N)
     dest = jnp.where(ok, dest, N)
-    points = points.at[dest].set(live.points, mode="drop")
-    colors = colors.at[dest].set(live.colors, mode="drop")
-    normals = normals.at[dest].set(live.normals, mode="drop")
-    confidence = confidence.at[dest].set(alpha, mode="drop")
+    live_rows = pack_rows(live.points, live.normals, live.colors, alpha)
+    data = data.at[dest].set(live_rows, mode="drop")
     count = jnp.minimum(state.count + jnp.sum(new_mask.astype(jnp.int32)), N)
 
     # ---- 4. refresh the index image for THIS keyframe --------------------
@@ -318,10 +305,7 @@ def pointfusion_step_index(
     ).astype(jnp.int32)
 
     return MapState(
-        points=points,
-        normals=normals,
-        colors=colors,
-        confidence=confidence,
+        data=data,
         count=count,
         index_image=new_index,
         index_pose=frame.pose.astype(state.index_pose.dtype),
@@ -345,7 +329,7 @@ def pointfusion_step(
     """
     H, W = frame.depth.shape[:2]
     HW = H * W
-    N = state.points.shape[0]
+    N = state.data.shape[0]
     K = frame.intrinsics
 
     windowed = active_window is not None and active_window < N
@@ -376,25 +360,19 @@ def pointfusion_step(
     points_w = fuse(sub.points, v_live)
     colors_w = fuse(sub.colors, jnp.take(live.colors, pix, axis=0))
     normals_raw = fuse(sub.normals, n_live)
-    nnorm = jnp.linalg.norm(normals_raw, axis=-1, keepdims=True)
+    n2 = jnp.sum(normals_raw * normals_raw, axis=-1, keepdims=True)
     normals_w = jnp.where(
-        nnorm > 1e-12, normals_raw / jnp.maximum(nnorm, 1e-12), normals_raw
+        n2 > 1e-24,
+        normals_raw / jnp.sqrt(jnp.where(n2 > 1e-24, n2, 1.0)),
+        normals_raw,
     )
     confidence_w = c + winner.astype(c.dtype) * a
 
+    sub_data = pack_rows(points_w, normals_w, colors_w, confidence_w)
     if windowed:
-        def wb(full, win):
-            idx = (start,) + (0,) * (full.ndim - 1)
-            return jax.lax.dynamic_update_slice(full, win, idx)
-
-        points = wb(state.points, points_w)
-        colors = wb(state.colors, colors_w)
-        normals = wb(state.normals, normals_w)
-        confidence = wb(state.confidence, confidence_w)
+        data = jax.lax.dynamic_update_slice(state.data, sub_data, (start, 0))
     else:
-        points, colors, normals, confidence = (
-            points_w, colors_w, normals_w, confidence_w,
-        )
+        data = sub_data
 
     # ---- 5. append unmatched live pixels --------------------------------
     claimed = jnp.zeros((HW,), jnp.int32).at[pix].max(winner.astype(jnp.int32))
@@ -404,17 +382,12 @@ def pointfusion_step(
     ok = new_mask & (dest < N)
     dest = jnp.where(ok, dest, N)  # out-of-range -> dropped by scatter
 
-    points = points.at[dest].set(live.points, mode="drop")
-    colors = colors.at[dest].set(live.colors, mode="drop")
-    normals = normals.at[dest].set(live.normals, mode="drop")
-    confidence = confidence.at[dest].set(alpha, mode="drop")
+    live_rows = pack_rows(live.points, live.normals, live.colors, alpha)
+    data = data.at[dest].set(live_rows, mode="drop")
     count = jnp.minimum(state.count + jnp.sum(new_mask.astype(jnp.int32)), N)
 
     return MapState(
-        points=points,
-        normals=normals,
-        colors=colors,
-        confidence=confidence,
+        data=data,
         count=count,
         index_image=state.index_image,  # pass-through (index impl maintains)
         index_pose=state.index_pose,

@@ -52,8 +52,12 @@ def normal_map(vertices: Array) -> Array:
     dx = jnp.diff(vertices, axis=1, append=vertices[:, -1:, :])
     dy = jnp.diff(vertices, axis=0, append=vertices[-1:, :, :])
     n = jnp.cross(dx, dy)
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    return jnp.where(norm > 1e-12, n / jnp.maximum(norm, 1e-12), 0.0)
+    # NaN-safe normalization (double-where): sqrt's derivative at 0 is inf,
+    # and 0-cotangent * inf = NaN would poison gradients flowing through
+    # ANY output that shares an op with normals (e.g. packed map rows).
+    n2 = jnp.sum(n * n, axis=-1, keepdims=True)
+    safe = jnp.where(n2 > 1e-24, n2, 1.0)
+    return jnp.where(n2 > 1e-24, n / jnp.sqrt(safe), 0.0)
 
 
 def build_frame(

@@ -33,17 +33,17 @@ Array = jax.Array
 
 def _append_frame(state: MapState, frame: RGBDFrame) -> MapState:
     """ICPSLAM-style map update: append every valid pixel."""
+    from e2eslam_tpu.slam.pointclouds import pack_rows
+
     live = frame_pointcloud(frame)
-    N = state.points.shape[0]
+    N = state.data.shape[0]
     new_mask = live.mask > 0
     order = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
     dest = state.count + order
     dest = jnp.where(new_mask & (dest < N), dest, N)
+    rows = pack_rows(live.points, live.normals, live.colors, live.mask)
     return MapState(
-        points=state.points.at[dest].set(live.points, mode="drop"),
-        normals=state.normals.at[dest].set(live.normals, mode="drop"),
-        colors=state.colors.at[dest].set(live.colors, mode="drop"),
-        confidence=state.confidence.at[dest].set(live.mask, mode="drop"),
+        data=state.data.at[dest].set(rows, mode="drop"),
         count=jnp.minimum(state.count + jnp.sum(new_mask.astype(jnp.int32)), N),
         index_image=state.index_image,
         index_pose=state.index_pose,

@@ -24,7 +24,7 @@ def t(fn, *args, n=10, warmup=2):
 
 
 def main():
-    from e2eslam_tpu.slam.pointclouds import MapState
+    from e2eslam_tpu.slam.pointclouds import MapState, make_map
     from e2eslam_tpu.slam.rgbd import build_frame
     from e2eslam_tpu.slam.fusion import projective_nn
     from e2eslam_tpu.engine.refine import PairBatch
@@ -33,7 +33,7 @@ def main():
     CAP = 4_915_200
     AW = 1_572_864
     ks = jax.random.split(jax.random.key(0), 8)
-    rmap = MapState(
+    rmap = make_map(
         points=jax.random.uniform(ks[0], (CAP, 3)),
         normals=jax.random.uniform(ks[1], (CAP, 3)),
         colors=jax.random.uniform(ks[2], (CAP, 3)),

@@ -22,7 +22,7 @@ def timeit(fn, *args, n=20, warmup=3):
 
 
 def main():
-    from e2eslam_tpu.slam.pointclouds import MapState, empty_map
+    from e2eslam_tpu.slam.pointclouds import MapState, make_map, empty_map, make_map
     from e2eslam_tpu.slam.rgbd import build_frame
     from e2eslam_tpu.slam.fusion import (
         _associate, _window_view, frame_pointcloud, projective_nn,
@@ -38,7 +38,7 @@ def main():
     ks = jax.random.split(key, 8)
 
     # fabricate a full map + frame
-    state = MapState(
+    state = make_map(
         points=jax.random.uniform(ks[0], (CAP, 3)),
         normals=jax.random.uniform(ks[1], (CAP, 3)),
         colors=jax.random.uniform(ks[2], (CAP, 3)),

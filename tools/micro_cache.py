@@ -51,14 +51,14 @@ def main():
     else:
         print("compilation cache: DISABLED")
 
-    from e2eslam_tpu.slam.pointclouds import MapState
+    from e2eslam_tpu.slam.pointclouds import MapState, make_map
     from e2eslam_tpu.engine.refine import PairBatch
 
     H, W = 256, 320
     CAP = 4_915_200
     AW = 1_572_864
     ks = jax.random.split(jax.random.key(0), 8)
-    rmap = MapState(
+    rmap = make_map(
         points=jax.random.uniform(ks[0], (CAP, 3)),
         normals=jax.random.uniform(ks[1], (CAP, 3)),
         colors=jax.random.uniform(ks[2], (CAP, 3)),

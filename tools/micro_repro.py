@@ -33,7 +33,7 @@ def main():
     from e2eslam_tpu.engine.adaptation import OnlineAdaptation
     from e2eslam_tpu.engine.refine import PairBatch
     from e2eslam_tpu.data.pipeline import load_batch
-    from e2eslam_tpu.slam.pointclouds import MapState, empty_map
+    from e2eslam_tpu.slam.pointclouds import MapState, make_map, empty_map, make_map
     from e2eslam_tpu.slam.rgbd import build_frame
     from e2eslam_tpu.slam.fusion import projective_nn
 
@@ -97,7 +97,7 @@ def main():
     # fabricated random map, same count
     k = jax.random.split(jax.random.key(1), 4)
     CAP = runner.capacity
-    gmap3 = MapState(
+    gmap3 = make_map(
         points=jax.random.uniform(k[0], (CAP, 3)),
         normals=jax.random.uniform(k[1], (CAP, 3)),
         colors=jax.random.uniform(k[2], (CAP, 3)),
@@ -133,7 +133,7 @@ def probe2():
     from e2eslam_tpu.engine.adaptation import OnlineAdaptation
     from e2eslam_tpu.engine.refine import PairBatch
     from e2eslam_tpu.data.pipeline import load_batch
-    from e2eslam_tpu.slam.pointclouds import MapState, empty_map
+    from e2eslam_tpu.slam.pointclouds import MapState, make_map, empty_map, make_map
     from e2eslam_tpu.slam.rgbd import build_frame
     from e2eslam_tpu.slam.fusion import projective_nn
 
