@@ -115,11 +115,10 @@ def test_ply_export_and_logger(tmp_path):
     from e2eslam_tpu.viz import export_ply, ScalarLogger, gradient_histograms
 
     m = empty_map(10)
-    m = m._replace(
-        points=m.points.at[:3].set(jnp.arange(9, dtype=jnp.float32).reshape(3, 3)),
-        colors=m.colors.at[:3].set(0.5),
-        count=jnp.asarray(3, jnp.int32),
-    )
+    data = m.data.at[:3, 0:3].set(
+        jnp.arange(9, dtype=jnp.float32).reshape(3, 3)
+    ).at[:3, 6:9].set(0.5)
+    m = m._replace(data=data, count=jnp.asarray(3, jnp.int32))
     path = export_ply(m, str(tmp_path / "m.ply"))
     text = open(path).read()
     assert "element vertex 3" in text

@@ -37,7 +37,7 @@ def make_assoc(AW):
 
 
 def main():
-    from e2eslam_tpu.slam.pointclouds import MapState, make_map, empty_map, make_map
+    from e2eslam_tpu.slam.pointclouds import MapState, empty_map, make_map
     from e2eslam_tpu.engine.refine import PairBatch
 
     H, W = 256, 320
