@@ -473,30 +473,83 @@ class RefinementEngine:
                 loss = loss + knn_l * w
                 aux["three3d"] = knn_l
             if L.chamfer_distance:
-                # Both directions must ignore invalid (zero-depth) query
-                # pixels: a->b via the msk weight; b->a by pushing invalid
-                # queries far away so they are never anyone's neighbor.
-                from e2eslam_tpu.ops.knn import knn
+                if impl in ("index", "projective"):
+                    # TPU-first approximate bidirectional chamfer: both
+                    # directions by projective correspondence — no KNN.
+                    #   a->b: per-pixel map candidate from the index image
+                    #     (impl=index) or the map->frame scatter-min
+                    #     (impl=projective), like the three3d branch;
+                    #   b->a: pure gather — project每 valid map point into
+                    #     the target camera and pair it with that pixel's
+                    #     predicted point. No winner selection is needed for
+                    #     the b->a mean, so it is O(N_map) elementwise.
+                    from e2eslam_tpu.slam.fusion import (
+                        _project_pixels, index_nn, projective_nn,
+                    )
 
-                idx_ab = jax.lax.stop_gradient(
-                    knn(jax.lax.stop_gradient(pts), map_pts, map_count)[1]
-                )
-                d_ab = jnp.sum(
-                    (pts - jnp.take(map_pts, idx_ab, axis=0)) ** 2, axis=-1
-                ) * msk
-                d_ab = jnp.sum(d_ab) / jnp.maximum(jnp.sum(msk), 1.0)
+                    det_map = jax.tree_util.tree_map(
+                        jax.lax.stop_gradient, map_state
+                    )
+                    if impl == "index":
+                        nn_i, fnd = index_nn(det_map, frame)
+                    else:
+                        aw_c = cfg.MODEL.get("active_window")
+                        nn_i, fnd = projective_nn(
+                            det_map, frame,
+                            active_window=int(aw_c) if aw_c else None,
+                        )
+                    nn_i = jax.lax.stop_gradient(nn_i[::stride])
+                    fnd = fnd[::stride]
+                    # Distance form matches the brute/three3d convention:
+                    # T_rel-transformed predictions vs raw map points.
+                    nn_ab = jnp.take(det_map.points, nn_i, axis=0)
+                    w_ab = msk * fnd.astype(msk.dtype)
+                    d_ab = jnp.sum((pts - nn_ab) ** 2, axis=-1) * w_ab
+                    d_ab = jnp.sum(d_ab) / jnp.maximum(jnp.sum(w_ab), 1.0)
 
-                pts_safe = jnp.where(msk[:, None] > 0, pts, 1e6)
-                idx_ba = jax.lax.stop_gradient(
-                    knn(map_pts, jax.lax.stop_gradient(pts_safe))[1]
-                )
-                mvalid = (
-                    jnp.arange(map_pts.shape[0]) < map_count
-                ).astype(jnp.float32)
-                d_ba = jnp.sum(
-                    (map_pts - jnp.take(pts_safe, idx_ba, axis=0)) ** 2, axis=-1
-                ) * mvalid
-                d_ba = jnp.sum(d_ba) / jnp.maximum(jnp.sum(mvalid), 1.0)
+                    # b->a over the strided map view (map_pts/map_count are
+                    # already the strided prefix-packed view): each map point
+                    # pairs with the predicted point at the pixel it images
+                    # to in the target camera — pure gather, no KNN.
+                    H_, W_ = frame.depth.shape[:2]
+                    q_pix, in_f = _project_pixels(
+                        map_pts, frame.pose, frame.intrinsics, H_, W_
+                    )
+                    full_pts = transform_points(T_rel, live.points)
+                    q_pt = jnp.take(full_pts, q_pix, axis=0)
+                    q_ok = jnp.take(live.mask, q_pix)
+                    mvalid = (
+                        (jnp.arange(map_pts.shape[0]) < map_count) & in_f
+                    ).astype(jnp.float32) * q_ok
+                    d_ba = jnp.sum((map_pts - q_pt) ** 2, axis=-1) * mvalid
+                    d_ba = jnp.sum(d_ba) / jnp.maximum(jnp.sum(mvalid), 1.0)
+                else:
+                    # EXACT semantics: brute-force KNN both ways (Pallas).
+                    # Both directions must ignore invalid (zero-depth) query
+                    # pixels: a->b via the msk weight; b->a by pushing
+                    # invalid queries far away.
+                    from e2eslam_tpu.ops.knn import knn
+
+                    idx_ab = jax.lax.stop_gradient(
+                        knn(jax.lax.stop_gradient(pts), map_pts, map_count)[1]
+                    )
+                    d_ab = jnp.sum(
+                        (pts - jnp.take(map_pts, idx_ab, axis=0)) ** 2, axis=-1
+                    ) * msk
+                    d_ab = jnp.sum(d_ab) / jnp.maximum(jnp.sum(msk), 1.0)
+
+                    pts_safe = jnp.where(msk[:, None] > 0, pts, 1e6)
+                    idx_ba = jax.lax.stop_gradient(
+                        knn(map_pts, jax.lax.stop_gradient(pts_safe))[1]
+                    )
+                    mvalid = (
+                        jnp.arange(map_pts.shape[0]) < map_count
+                    ).astype(jnp.float32)
+                    d_ba = jnp.sum(
+                        (map_pts - jnp.take(pts_safe, idx_ba, axis=0)) ** 2,
+                        axis=-1,
+                    ) * mvalid
+                    d_ba = jnp.sum(d_ba) / jnp.maximum(jnp.sum(mvalid), 1.0)
 
                 ch = gate * (d_ab + d_ba)
                 loss = loss + 0.5 * ch * float(L.chamfer_weight)

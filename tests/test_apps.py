@@ -86,6 +86,34 @@ def test_online_adaption_index_impl():
     )
 
 
+def test_online_adaption_chamfer_index_backend():
+    """Bidirectional chamfer with the projective/index backend (no KNN):
+    runs end to end, loss is live and finite, same order as the brute
+    backend on the same tiny workload."""
+    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+
+    common = {
+        "LOSS.three3d_loss": False,
+        "LOSS.chamfer_distance": True,
+        "DEMO.sequence_length": 4,
+    }
+    r_idx = OnlineAdaptation(tiny_config(**{
+        **common, "LOSS.knn_impl": "index", "MODEL.fusion_impl": "index",
+    })).run(verbose=False)
+    r_brute = OnlineAdaptation(tiny_config(**{
+        **common, "LOSS.knn_impl": "brute",
+    })).run(verbose=False)
+    for r in (r_idx, r_brute):
+        assert np.isfinite(r["mean_abs_rel"])
+        chs = [float(m["chamfer"]) for m in r["metrics"][1:] if m is not None]
+        assert chs and all(np.isfinite(c) for c in chs)
+        assert any(c > 0 for c in chs)
+    # same order of magnitude on identical data (approximate association)
+    ci = np.mean([float(m["chamfer"]) for m in r_idx["metrics"][1:]])
+    cb = np.mean([float(m["chamfer"]) for m in r_brute["metrics"][1:]])
+    assert cb / 50 < ci < cb * 50, (ci, cb)
+
+
 def test_knn_impl_index_requires_index_fusion():
     from e2eslam_tpu.engine.adaptation import OnlineAdaptation
 
