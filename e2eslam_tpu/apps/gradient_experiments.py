@@ -34,8 +34,14 @@ def recover_image(config, *, dataset=None, num_steps=None, verbose=True):
     H, W = colors.shape[1:3]
     capacity = colors.shape[0] * H * W
 
-    gt_map, _ = slam(colors, gt_depths, K, poses, capacity=capacity)
-    gt_map = jax.lax.stop_gradient(gt_map)
+    # Jitted GT reconstruction (eager PointFusion pays per-op dispatch
+    # latency on the tunneled TPU; the in-loop noisy reconstruction is
+    # already inside the jitted step_fn).
+    gt_map = jax.jit(
+        lambda c, d, k, p: jax.lax.stop_gradient(
+            slam(c, d, k, p, capacity=capacity)[0]
+        )
+    )(colors, gt_depths, K, poses)
 
     noisy_colors, noisy_depths = corrupt_rgbd(
         config, jax.random.key(0), colors[None], gt_depths[None]

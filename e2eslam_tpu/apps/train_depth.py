@@ -61,6 +61,15 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
     if config.SETTINGS.get("log_path"):
         logger = ScalarLogger(config.SETTINGS.log_path, config.SETTINGS.name)
 
+    # The full-sequence GT reconstruction must run as ONE compiled program:
+    # eager PointFusion dispatches hundreds of ops per call (measured ~7.5 s
+    # of dispatch overhead per 2-frame window on the tunneled TPU vs ~10 ms
+    # compiled).
+    @jax.jit
+    def gt_reconstruct(colors, gt_depths, K, poses):
+        m, _ = gt_slam(colors, gt_depths, K, poses, capacity=capacity)
+        return jax.lax.stop_gradient(m)
+
     rng = jax.random.key(1)
     n = len(dataset) if max_windows is None else min(len(dataset), max_windows)
     all_metrics = []
@@ -71,8 +80,7 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
 
         # GT reconstruction (detached target for the 3D losses),
         # reference train_depth.py:263-267.
-        gt_map, _ = gt_slam(colors, gt_depths, K, poses, capacity=capacity)
-        gt_map = jax.lax.stop_gradient(gt_map)
+        gt_map = gt_reconstruct(colors, gt_depths, K, poses)
 
         pair = PairBatch(colors=colors, gt_depths=gt_depths, intrinsics=K, poses=poses)
         state = state._replace(step=jnp.zeros((), jnp.int32))

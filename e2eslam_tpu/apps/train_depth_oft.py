@@ -37,6 +37,15 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
     gt_slam = PointFusion(odom="gt", sigma=float(config.MODEL.sigma),
                            fusion_impl=str(config.MODEL.get("fusion_impl", "scatter")))
 
+    # The full-sequence GT reconstruction must run as ONE compiled program:
+    # eager PointFusion dispatches hundreds of ops per call (measured ~7.5 s
+    # of dispatch overhead per 2-frame window on the tunneled TPU vs ~10 ms
+    # compiled).
+    @jax.jit
+    def gt_reconstruct(colors, gt_depths, K, poses):
+        m, _ = gt_slam(colors, gt_depths, K, poses, capacity=capacity)
+        return jax.lax.stop_gradient(m)
+
     rng = jax.random.key(1)
     n = len(dataset) if max_windows is None else min(len(dataset), max_windows)
     all_metrics = []
@@ -44,27 +53,33 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
         colors, gt_depths, intrinsics, poses, _ = load_batch(dataset, [it])
         colors, gt_depths, poses, K = colors[0], gt_depths[0], poses[0], intrinsics[0]
 
-        gt_map, _ = gt_slam(colors, gt_depths, K, poses, capacity=capacity)
-        gt_map = jax.lax.stop_gradient(gt_map)
+        gt_map = gt_reconstruct(colors, gt_depths, K, poses)
         pair = PairBatch(colors=colors, gt_depths=gt_depths, intrinsics=K, poses=poses)
 
-        # One frozen forward; the depth tensor is the optimization variable.
-        _, depths = engine.predict_depth(state, colors)
-        depths = jax.lax.stop_gradient(depths)
-        # The drift regularizer compares POST-scaling depths (the loss scales
-        # the optimized tensor before comparing — same fix as the PFT path).
-        initial_depths = jax.lax.stop_gradient(
-            engine._apply_scaling(depths, gt_depths, intrinsics=K)
-        )
-        opt_state = engine.optimizer.init(depths)
-
-        metrics = None
-        for rs in range(int(config.OPTIMIZATION.refinement_steps)):
+        per_step_prints = bool(verbose and config.DEBUG.get("print_metrics"))
+        if not per_step_prints:
+            # Fast path: frozen forward + R scanned OFT steps = ONE dispatch.
             rng, sub = jax.random.split(rng)
-            depths, opt_state, metrics = engine.oft_step(
-                depths, opt_state, initial_depths, pair, gt_map, sub
+            depths, metrics = engine.oft_window(state, pair, gt_map, sub)
+        else:
+            # One frozen forward; the depth tensor is the optimization
+            # variable (reference train_depth_OFT.py:279-282).
+            _, depths = engine.predict_depth(state, colors)
+            depths = jax.lax.stop_gradient(depths)
+            # The drift regularizer compares POST-scaling depths (the loss
+            # scales the optimized tensor before comparing — same fix as the
+            # PFT path).
+            initial_depths = jax.lax.stop_gradient(
+                engine._apply_scaling(depths, gt_depths, intrinsics=K)
             )
-            if verbose and config.DEBUG.get("print_metrics"):
+            opt_state = engine.optimizer.init(depths)
+
+            metrics = None
+            for rs in range(int(config.OPTIMIZATION.refinement_steps)):
+                rng, sub = jax.random.split(rng)
+                depths, opt_state, metrics = engine.oft_step(
+                    depths, opt_state, initial_depths, pair, gt_map, sub
+                )
                 m = jax.device_get(metrics)
                 print(
                     f"iter {it} refine_step {rs} loss {float(m['total_loss']):.5f} "

@@ -138,6 +138,7 @@ class RefinementEngine:
             self._make_process_sequence(), donate_argnums=(0, 1)
         )
         self._oft_step = jax.jit(self._make_oft_step())
+        self._oft_window = jax.jit(self._make_oft_window())
         # Observability variant: same step, also returns the raw grad pytree
         # (for per-layer histograms, reference train_depth.py:865-917).
         # Compiled lazily on first use; no donation so state can be inspected.
@@ -822,6 +823,41 @@ class RefinementEngine:
         return step
 
     # ------------------------------------------------------------------
+    # Whole-window OFT: the frozen forward + R scanned OFT steps as ONE
+    # XLA program (the OFT mode is the reference's "~10x faster" headline —
+    # give it the same single-dispatch treatment as the PFT fast path).
+    # ------------------------------------------------------------------
+    def _make_oft_window(self):
+        step = self._make_oft_step()
+        R = int(self.config.OPTIMIZATION.refinement_steps)
+
+        def run(params, batch_stats, pair: PairBatch, map_state: MapState,
+                rng):
+            _, depths = self._forward_depths(params, batch_stats, pair.colors)
+            depths = jax.lax.stop_gradient(depths)
+            initial = jax.lax.stop_gradient(
+                self._apply_scaling(
+                    depths, pair.gt_depths, intrinsics=pair.intrinsics
+                )
+            )
+            opt_state = self.optimizer.init(depths)
+
+            def body(carry, _):
+                d, os, key = carry
+                key, sub = jax.random.split(key)
+                d, os, metrics = step(d, os, initial, pair, map_state, None,
+                                      sub)
+                return (d, os, key), metrics
+
+            (depths, _, _), metrics = jax.lax.scan(
+                body, (depths, opt_state, rng), None, length=R
+            )
+            last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+            return depths, last
+
+        return run
+
+    # ------------------------------------------------------------------
     # SCALE step: optimize only a global affine depth scale (+bias)
     # ------------------------------------------------------------------
     def _make_scale_step(self):
@@ -937,6 +973,13 @@ class RefinementEngine:
                  map_index=None):
         return self._oft_step(
             depths, opt_state, initial_depths, pair, map_state, map_index, rng
+        )
+
+    def oft_window(self, state, pair, map_state, rng):
+        """Whole-window OFT fast path: frozen forward + R steps, one
+        dispatch. Returns (optimized depths, last-step metrics)."""
+        return self._oft_window(
+            state.params, state.batch_stats, pair, map_state, rng
         )
 
     def scale_step(self, scale_params, opt_state, state, pair, map_state, rng):
