@@ -80,44 +80,54 @@ class ParallelAdaptation:
                 poses=jnp.take(poses, idx, axis=0),
             )
 
-        def one_seq_event(state, map_state, colors, depths, K, poses,
-                          prev_i, cur_i, active, rng, *, fuse_prev):
-            """Refine R steps + fuse for ONE sequence, masked by ``active``."""
-            pair = gather_pair(colors, depths, K, poses, prev_i, cur_i)
-            st = state._replace(step=jnp.zeros((), jnp.int32))
+        # Whole-run program: the full ragged multi-sequence loop (scan over
+        # padded event schedules, masked commits) in ONE XLA dispatch.
+        def one_seq_run(state, map_state, colors, depths, K, poses,
+                        prev_idx, cur_idx, active, rngs):
+            """prev_idx/cur_idx/active: [E]; rngs: [E] keys (per sequence)."""
 
-            def body(carry, _):
-                st, key = carry
-                key, sub = jax.random.split(key)
-                st, metrics = step(st, pair, map_state, None, sub)
-                return (st, key), metrics
+            def fuse_with(st, pair, ms, fuse_prev):
+                return fuse(st.params, st.batch_stats, pair, ms,
+                            fuse_prev=fuse_prev)
 
-            (st, _), metrics = jax.lax.scan(body, (st, rng), None, length=R)
-            last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
-            new_map, est_pose = fuse(
-                st.params, st.batch_stats, pair, map_state,
-                fuse_prev=fuse_prev,
+            def event_body(carry, xs):
+                state, ms = carry
+                prev_i, cur_i, act, is_first, rng = xs
+                pair = gather_pair(colors, depths, K, poses, prev_i, cur_i)
+                st = state._replace(step=jnp.zeros((), jnp.int32))
+
+                def body(c, _):
+                    st, key = c
+                    key, sub = jax.random.split(key)
+                    st, metrics = step(st, pair, ms, None, sub)
+                    return (st, key), metrics
+
+                (st, _), metrics = jax.lax.scan(body, (st, rng), None,
+                                                length=R)
+                last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+                new_map, est = jax.lax.cond(
+                    is_first,
+                    lambda: fuse_with(st, pair, ms, True),
+                    lambda: fuse_with(st, pair, ms, False),
+                )
+                sel = lambda new, old: jnp.where(act, new, old)
+                state = jax.tree_util.tree_map(sel, st, state)
+                ms = jax.tree_util.tree_map(sel, new_map, ms)
+                return (state, ms), (last, est)
+
+            is_first = jnp.arange(prev_idx.shape[0]) == 0
+            (state, map_state), (metrics, est) = jax.lax.scan(
+                event_body, (state, map_state),
+                (prev_idx, cur_idx, active, is_first, rngs),
             )
-            # Masked commit: finished sequences keep their old state/map
-            # (``active`` is a per-sequence scalar under vmap — broadcasts).
-            sel = lambda new, old: jnp.where(active, new, old)
-            state = jax.tree_util.tree_map(sel, st, state)
-            new_map = jax.tree_util.tree_map(sel, new_map, map_state)
-            return state, new_map, last, est_pose
+            return state, map_state, metrics, est
 
-        def event_fn(fuse_prev):
-            f = lambda s, m, c, d, K, p, pi, ci, a, r: one_seq_event(
-                s, m, c, d, K, p, pi, ci, a, r, fuse_prev=fuse_prev
-            )
-            return jax.jit(
-                jax.vmap(f),
-                in_shardings=(data,) * 10,
-                out_shardings=(data, data, data, data),
-                donate_argnums=(0, 1),
-            )
-
-        self._event_first = event_fn(True)
-        self._event_rest = event_fn(False)
+        self._whole_run = jax.jit(
+            jax.vmap(one_seq_run),
+            in_shardings=(data,) * 10,
+            out_shardings=(data, data, data, data),
+            donate_argnums=(0, 1),
+        )
 
     def init_state(self, params, batch_stats, pair_shape) -> RefineState:
         return self.par.init_state(params, batch_stats, pair_shape)
@@ -170,25 +180,25 @@ class ParallelAdaptation:
         maps = self.init_maps()
         rng = jax.random.key(2) if rng is None else rng
 
-        per_event_metrics = []
-        est_poses = []
-        for e in range(E):
-            rng, sub = jax.random.split(rng)
-            rngs = shard_leading(self.mesh, jax.random.split(sub, N))
-            fn = self._event_first if e == 0 else self._event_rest
-            state, maps, metrics, est = fn(
-                state, maps, colors, gt_depths, intrinsics, poses,
-                shard_leading(self.mesh, jnp.asarray(prev_idx[:, e])),
-                shard_leading(self.mesh, jnp.asarray(cur_idx[:, e])),
-                shard_leading(self.mesh, jnp.asarray(active[:, e])),
-                rngs,
-            )
-            per_event_metrics.append(metrics)  # device, async
-            est_poses.append(est)
+        # ONE dispatch for the entire multi-sequence run: scan over padded
+        # event schedules with masked commits, vmapped over the mesh.
+        rngs = jax.random.split(rng, N * E).reshape(N, E)
+        state, maps, metrics, est = self._whole_run(
+            state, maps, colors, gt_depths, intrinsics, poses,
+            shard_leading(self.mesh, jnp.asarray(prev_idx)),
+            shard_leading(self.mesh, jnp.asarray(cur_idx)),
+            shard_leading(self.mesh, jnp.asarray(active)),
+            shard_leading(self.mesh, rngs),
+        )
 
-        # One host sync at the end.
-        per_event_metrics = jax.device_get(per_event_metrics)
-        est_np = np.stack(jax.device_get(est_poses), axis=1)  # [N, E, 4, 4]
+        # One host sync at the end. metrics leaves are [N, E, ...]; reshape
+        # to the per-event list layout the result packaging expects.
+        metrics = jax.device_get(metrics)
+        per_event_metrics = [
+            jax.tree_util.tree_map(lambda x, e=e: x[:, e], metrics)
+            for e in range(E)
+        ]
+        est_np = np.asarray(jax.device_get(est))  # [N, E, 4, 4]
 
         results = []
         from e2eslam_tpu.losses.trajectory import (
