@@ -22,6 +22,7 @@ def main(argv=None):
     print(f"keyframes: {result['num_keyframes']}")
     print(f"map points: {result['map_points']}")
     print(f"mean abs_rel: {result['mean_abs_rel']:.5f}")
+    print(f"ate: {result['ate']:.5f}  rpe: {result['rpe']:.5f}")
     print(f"refinement steps/sec (adapt+fuse): {result['steps_per_sec']:.3f}")
 
     if config.VIZ.get("plot_final_step"):

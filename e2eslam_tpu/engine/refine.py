@@ -419,9 +419,27 @@ class RefinementEngine:
                     nn_idx, found = index_nn(det_map, frame)
                     nn_idx = jax.lax.stop_gradient(nn_idx[::stride])
                     found = found[::stride]
-                    nn = jnp.take(det_map.points, nn_idx, axis=0)
+                    # gather packed rows then slice: avoids materializing a
+                    # full-map [N,3] strided view per step (trace: ~0.2
+                    # ms/step of slice traffic)
+                    nn_rows = jnp.take(det_map.data, nn_idx, axis=0)
+                    nn = nn_rows[:, 0:3]
                     w3 = msk * found.astype(msk.dtype)
-                    d2 = jnp.sum((pts - nn) ** 2, axis=-1) * w3
+                    d2r = jnp.sum((pts - nn) ** 2, axis=-1)
+                    # Optional quality knobs (TPU-first additions, off by
+                    # default = reference semantics):
+                    #  * three3d_dist_gate: ignore matches farther than the
+                    #    gate (meters) — approximate associations can pair
+                    #    distant points the exact KNN never would;
+                    #  * three3d_conf_weight: weight matches by the map
+                    #    point's accumulated fusion confidence, trusting
+                    #    multiply-observed surfels over one-shot appends.
+                    dgate = L.get("three3d_dist_gate")
+                    if dgate:
+                        w3 = w3 * (d2r < float(dgate) ** 2).astype(w3.dtype)
+                    if L.get("three3d_conf_weight", False):
+                        w3 = w3 * jnp.minimum(nn_rows[:, 9], 4.0) * 0.25
+                    d2 = d2r * w3
                     knn_l = gate * jnp.sum(d2) / jnp.maximum(jnp.sum(w3), 1.0)
                 elif impl == "projective":
                     # TPU-native O(N_map) association: project the map onto
@@ -503,7 +521,7 @@ class RefinementEngine:
                     fnd = fnd[::stride]
                     # Distance form matches the brute/three3d convention:
                     # T_rel-transformed predictions vs raw map points.
-                    nn_ab = jnp.take(det_map.points, nn_i, axis=0)
+                    nn_ab = jnp.take(det_map.data, nn_i, axis=0)[:, 0:3]
                     w_ab = msk * fnd.astype(msk.dtype)
                     d_ab = jnp.sum((pts - nn_ab) ** 2, axis=-1) * w_ab
                     d_ab = jnp.sum(d_ab) / jnp.maximum(jnp.sum(w_ab), 1.0)

@@ -114,6 +114,27 @@ def test_online_adaption_chamfer_index_backend():
     assert cb / 50 < ci < cb * 50, (ci, cb)
 
 
+def test_three3d_quality_knobs():
+    """Distance gate + confidence weighting on the index 3D loss run and
+    stay finite (off-by-default knobs; TPU-first additions)."""
+    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+
+    cfg = tiny_config(**{
+        "LOSS.three3d_loss": True,
+        "LOSS.knn_impl": "index",
+        "MODEL.fusion_impl": "index",
+        "DEMO.sequence_length": 4,
+    })
+    cfg.LOSS.three3d_dist_gate = 0.25
+    cfg.LOSS.three3d_conf_weight = True
+    result = OnlineAdaptation(cfg).run(verbose=False)
+    assert np.isfinite(result["mean_abs_rel"])
+    assert all(
+        np.isfinite(float(m["three3d"])) for m in result["metrics"]
+        if m is not None
+    )
+
+
 def test_knn_impl_index_requires_index_fusion():
     from e2eslam_tpu.engine.adaptation import OnlineAdaptation
 
