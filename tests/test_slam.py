@@ -334,3 +334,19 @@ def test_index_fusion_is_differentiable_wrt_depth(seq):
     g = jax.grad(loss)(depths[1])
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_index_fusion_capacity_clamp(seq):
+    """At capacity the index impl drops appends (never clobbers) and the
+    index image marks dropped pixels invalid."""
+    from e2eslam_tpu.slam.fusion import pointfusion_step_index
+
+    f0, f1 = _frame(seq, 0), _frame(seq, 1)
+    cap = H * W + 100  # room for frame 0 plus a sliver
+    m = pointfusion_step_index(empty_map(cap, index_hw=H * W), f0)
+    c0 = int(m.count)
+    m = pointfusion_step_index(m, f1)
+    assert int(m.count) == cap  # clamped, not overflowed
+    assert np.all(np.isfinite(np.asarray(m.points[:cap])))
+    idx = np.asarray(m.index_image)
+    assert idx.max() < cap  # no out-of-range slots recorded
