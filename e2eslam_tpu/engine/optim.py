@@ -38,11 +38,42 @@ def make_lr_schedule(config) -> optax.Schedule:
     raise ValueError("decay_lr set but no valid schedular given")
 
 
+def fuse_update(inner: optax.GradientTransformation) -> optax.GradientTransformation:
+    """Run the optimizer on ONE flattened parameter vector.
+
+    Per-leaf optimizer updates compile into ~3 tiny XLA ops per layer
+    (measured: 81 fusions, ~1.6 ms/step for ResNet-18+decoder on v5e —
+    pure op-launch overhead). Raveling grads/params into a single [P]
+    vector turns the whole update into a handful of fused full-vector ops.
+    The optimizer STATE becomes vectors keyed to the flat layout (affects
+    checkpoint shape — gate via ``OPTIMIZATION.fused_update``).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return inner.init(flat)
+
+    def update(grads, state, params=None):
+        gflat, unravel = ravel_pytree(grads)
+        pflat = ravel_pytree(params)[0] if params is not None else None
+        upd, state = inner.update(gflat, state, pflat)
+        return unravel(upd), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(config, *, learning_rate: Optional[float] = None) -> optax.GradientTransformation:
     """Build the optimizer selected by ``OPTIMIZATION.optimizer``."""
     schedule = (
         make_lr_schedule(config) if learning_rate is None else learning_rate
     )
+    if config.OPTIMIZATION.get("fused_update", False):
+        cfg2 = config.copy()
+        cfg2.OPTIMIZATION.fused_update = False
+        return fuse_update(
+            make_optimizer(cfg2, learning_rate=learning_rate)
+        )
     kind = config.OPTIMIZATION.optimizer
     if kind in ("Adam", "SparseAdam"):
         # SparseAdam degenerates to Adam on dense TPU pytrees.

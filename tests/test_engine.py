@@ -258,3 +258,32 @@ def test_fuse_pair_with_gradicp_odometry():
     gmap, est_pose = engine.fuse_pair(state, p, empty_map(3 * H * W), fuse_prev=True)
     assert int(gmap.count) > H * W
     assert np.all(np.isfinite(np.asarray(gmap.points)))
+
+
+def test_fused_update_matches_per_leaf(pair):
+    """OPTIMIZATION.fused_update: flattened-vector Adam produces the same
+    parameters as the per-leaf optimizer."""
+    import jax
+    import numpy as np
+
+    cfg = small_config()
+    engine, state = _engine_and_state(cfg)
+    cfg2 = small_config()
+    cfg2.OPTIMIZATION.fused_update = True
+    engine2, state2 = _engine_and_state(cfg2)
+
+    from e2eslam_tpu.slam.pointclouds import empty_map
+
+    emap = empty_map(4 * H * W)
+    rng = jax.random.key(0)
+    s1, m1 = engine.refine_step(state, pair, emap, rng)
+    s2, m2 = engine2.refine_step(state2, pair, emap, rng)
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m2["total_loss"]), rtol=1e-6
+    )
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
+        )
