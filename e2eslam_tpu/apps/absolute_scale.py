@@ -41,7 +41,10 @@ def train_scale(config, *, dataset=None, max_windows=None, verbose=True):
         str(cfg.MODEL.get("fusion_impl", "scatter")) == "index"
         or str(cfg.LOSS.get("knn_impl", "brute")) == "index"
     )
-    dummy_map = empty_map(capacity, index_hw=H * W if needs_index else None)
+    dummy_map = empty_map(
+        capacity, index_hw=H * W if needs_index else None,
+        index_levels=int(cfg.MODEL.get("index_levels", 1) or 1),
+    )
 
     use_bias = bool(config.ABLATION.get("with_bias", False))
     grid = list(config.get("SCALE_GRID_SEARCH", {}).get("grid", [0.5]))

@@ -47,7 +47,10 @@ def evaluate(config, *, dataset=None, max_windows=None, verbose=True):
         str(cfg.MODEL.get("fusion_impl", "scatter")) == "index"
         or str(cfg.LOSS.get("knn_impl", "brute")) == "index"
     )
-    dummy_map = empty_map(capacity, index_hw=H * W if needs_index else None)
+    dummy_map = empty_map(
+        capacity, index_hw=H * W if needs_index else None,
+        index_levels=int(cfg.MODEL.get("index_levels", 1) or 1),
+    )
     plot_dir = cfg.DEBUG.get("plot_path") or "."
 
     rng = jax.random.key(3)

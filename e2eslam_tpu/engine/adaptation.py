@@ -95,7 +95,8 @@ class OnlineAdaptation:
             or str(cfg.LOSS.get("knn_impl", "brute")) == "index"
         )
         global_map = empty_map(
-            self.capacity, index_hw=H * W if needs_index else None
+            self.capacity, index_hw=H * W if needs_index else None,
+            index_levels=int(cfg.MODEL.get("index_levels", 1) or 1),
         )
         # The jitted steps donate their state/map inputs (buffer reuse);
         # start from a copy so self.state survives repeated run() calls.

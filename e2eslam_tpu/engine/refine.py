@@ -114,6 +114,7 @@ class RefinementEngine:
             numiters=int(config.MODEL.numiters),
             active_window=int(aw) if aw else None,
             fusion_impl=str(config.MODEL.get("fusion_impl", "scatter")),
+            index_levels=int(config.MODEL.get("index_levels", 1) or 1),
         )
         if (
             str(config.LOSS.get("knn_impl", "brute")) == "index"

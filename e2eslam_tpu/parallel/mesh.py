@@ -100,9 +100,10 @@ class ParallelRefinement:
             or str(cfg.LOSS.get("knn_impl", "brute")) == "index"
         )
         hw = int(cfg.DATA.height) * int(cfg.DATA.width) if needs_index else None
-        maps = jax.vmap(lambda _: empty_map(self.map_capacity, index_hw=hw))(
-            jnp.arange(self.n)
-        )
+        lv = int(cfg.MODEL.get("index_levels", 1) or 1)
+        maps = jax.vmap(
+            lambda _: empty_map(self.map_capacity, index_hw=hw, index_levels=lv)
+        )(jnp.arange(self.n))
         return shard_leading(self.mesh, maps)
 
     def refine_step(self, state: RefineState, pairs: PairBatch, maps: MapState, rngs):

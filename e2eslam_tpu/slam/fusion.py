@@ -204,6 +204,17 @@ def index_nn(state: MapState, frame: RGBDFrame):
     )
     cand = jnp.take(state.index_image, q)
     found = in_prev & (cand >= 0) & (live.mask > 0)
+    if state.index_image2 is not None:
+        # Second level: pixels missed by the last keyframe's index fall back
+        # to the previous-but-one (surfaces occluded/out-of-frame for one
+        # keyframe re-associate instead of duplicating).
+        q2, in2 = _project_pixels(
+            live.points, state.index_pose2, frame.intrinsics, H, W
+        )
+        cand2 = jnp.take(state.index_image2, q2)
+        found2 = in2 & (cand2 >= 0) & (live.mask > 0)
+        cand = jnp.where(found, cand, cand2)
+        found = found | found2
     N = state.data.shape[0]
     return jnp.clip(cand, 0, N - 1), found
 
@@ -252,8 +263,18 @@ def pointfusion_step_index(
         live.points, state.index_pose, frame.intrinsics, H, W
     )
     cand = jnp.take(state.index_image, q)  # [HW] slot or -1
-    cand_c = jnp.clip(cand, 0, N - 1)
     has_cand = in_prev & (cand >= 0) & (live.mask > 0)
+    if state.index_image2 is not None:
+        # Two-level fallback (see index_nn): re-associate surfaces that
+        # were not visible in the immediately-previous keyframe.
+        q2, in2 = _project_pixels(
+            live.points, state.index_pose2, frame.intrinsics, H, W
+        )
+        cand2 = jnp.take(state.index_image2, q2)
+        has2 = in2 & (cand2 >= 0) & (live.mask > 0)
+        cand = jnp.where(has_cand, cand, cand2)
+        has_cand = has_cand | has2
+    cand_c = jnp.clip(cand, 0, N - 1)
     cand_rows = jnp.take(state.data, cand_c, axis=0)  # ONE packed gather
     m_pt = cand_rows[:, 0:3]
     m_n = cand_rows[:, 3:6]
@@ -309,6 +330,12 @@ def pointfusion_step_index(
         count=count,
         index_image=new_index,
         index_pose=frame.pose.astype(state.index_pose.dtype),
+        index_image2=(
+            None if state.index_image2 is None else state.index_image
+        ),
+        index_pose2=(
+            None if state.index_pose2 is None else state.index_pose
+        ),
     )
 
 
@@ -391,4 +418,6 @@ def pointfusion_step(
         count=count,
         index_image=state.index_image,  # pass-through (index impl maintains)
         index_pose=state.index_pose,
+        index_image2=state.index_image2,
+        index_pose2=state.index_pose2,
     )

@@ -50,6 +50,8 @@ class MapState(NamedTuple):
     count: Array  # [] int32 — number of valid entries
     index_image: Array | None = None  # [H*W] int32 map slot per pixel, -1 none
     index_pose: Array | None = None  # [4, 4] pose of the index image's frame
+    index_image2: Array | None = None  # previous-but-one keyframe's slots
+    index_pose2: Array | None = None
 
     # ---- field views (lazy slices; fuse into consumers under jit) --------
     @property
@@ -94,7 +96,9 @@ def make_map(*, points, normals, colors, confidence, count,
 
 
 def empty_map(capacity: int, dtype=jnp.float32, *,
-              index_hw: int | None = None) -> MapState:
+              index_hw: int | None = None,
+              index_levels: int = 1) -> MapState:
+    index_levels2 = index_hw is not None and index_levels >= 2
     return MapState(
         data=jnp.zeros((capacity, ROW), dtype),
         count=jnp.zeros((), jnp.int32),
@@ -103,6 +107,10 @@ def empty_map(capacity: int, dtype=jnp.float32, *,
             else jnp.full((index_hw,), -1, jnp.int32)
         ),
         index_pose=None if index_hw is None else jnp.eye(4, dtype=dtype),
+        index_image2=(
+            None if not index_levels2 else jnp.full((index_hw,), -1, jnp.int32)
+        ),
+        index_pose2=None if not index_levels2 else jnp.eye(4, dtype=dtype),
     )
 
 

@@ -47,6 +47,8 @@ def _append_frame(state: MapState, frame: RGBDFrame) -> MapState:
         count=jnp.minimum(state.count + jnp.sum(new_mask.astype(jnp.int32)), N),
         index_image=state.index_image,
         index_pose=state.index_pose,
+        index_image2=state.index_image2,
+        index_pose2=state.index_pose2,
     )
 
 
@@ -63,6 +65,7 @@ class PointFusion:
     icp_downsample: int = 4
     active_window: int | None = None  # bound association to newest W points
     fusion_impl: str = "scatter"  # scatter (gradslam-like) | index (O(HW))
+    index_levels: int = 1  # index impl: 1 or 2 cached keyframe index images
 
     def _update_map(self, state: MapState, frame: RGBDFrame) -> MapState:
         if self.fusion_impl == "index":
@@ -134,6 +137,7 @@ class PointFusion:
         state = empty_map(
             capacity, colors.dtype,
             index_hw=H * W if self.fusion_impl == "index" else None,
+            index_levels=self.index_levels,
         )
 
         frame0 = build_frame(colors[0], depths[0], intrinsics, poses[0])

@@ -350,3 +350,23 @@ def test_index_fusion_capacity_clamp(seq):
     assert np.all(np.isfinite(np.asarray(m.points[:cap])))
     idx = np.asarray(m.index_image)
     assert idx.max() < cap  # no out-of-range slots recorded
+
+
+def test_two_level_index_reduces_duplicates(seq):
+    """index_levels=2: surfaces that skip a keyframe re-associate through
+    the second index image instead of duplicating appends."""
+    from e2eslam_tpu.slam.fusion import pointfusion_step_index
+
+    f0, f1, f2 = _frame(seq, 0), _frame(seq, 1), _frame(seq, 2)
+
+    def run(levels):
+        m = empty_map(5 * H * W, index_hw=H * W, index_levels=levels)
+        # f0, f1, then f0's viewpoint again (f2 is further along the
+        # trajectory; to force a revisit pattern, fuse f0 -> f1 -> f0)
+        for f in (f0, f1, f0, f2):
+            m = pointfusion_step_index(m, f)
+        return int(m.count)
+
+    c1, c2 = run(1), run(2)
+    assert c2 <= c1  # two-level never appends more
+    assert c2 < c1  # and on a revisit pattern it strictly merges more
