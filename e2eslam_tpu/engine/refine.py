@@ -51,7 +51,7 @@ from e2eslam_tpu.losses.regularizers import (
     geometric_consistency_loss,
     sparse_sampling,
 )
-from e2eslam_tpu.slam.fusion import frame_pointcloud, pointfusion_step
+from e2eslam_tpu.slam.fusion import frame_pointcloud
 from e2eslam_tpu.slam.pointclouds import MapState
 from e2eslam_tpu.slam.rgbd import build_frame
 from e2eslam_tpu.slam.slam import PointFusion
