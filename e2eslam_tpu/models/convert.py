@@ -254,7 +254,11 @@ def load_depth_weights(config, params, batch_stats):
                 params, batch_stats,
             )
         else:
-            names = tuple(M.get("models_to_load") or ("encoder", "depth"))
+            names = tuple(
+                M.get("pretrained_models_list")
+                or M.get("models_to_load")
+                or ("encoder", "depth")
+            )
             params, batch_stats = load_monodepth2_modules(
                 M.load_depth_path, params, batch_stats, models_to_load=names
             )

@@ -253,6 +253,11 @@ def test_monodepth2_per_module_checkpoint_loading(tmp_path):
     cfg.MODEL.num_layers = 18
     cfg.MODEL.use_pretrained_models = True
     cfg.MODEL.load_depth_path = str(tmp_path)
+    # The documented reference key controls which {name}.pth modules are
+    # merged (reference train_depth.py:815-817; ADVICE r2): the shipped
+    # config default is [depth_encoder, depth_decoder] — override it to the
+    # monodepth2 release file names this test writes.
+    cfg.MODEL.pretrained_models_list = ["encoder", "depth"]
     cfg.DATA.scales = [0, 1, 2, 3]
 
     model = make_depth_model(cfg)

@@ -94,8 +94,8 @@ def main():
             poses=jnp.stack([poses[i], poses[i + 2]]),
         )
         rng, sub = jax.random.split(rng)
-        state, gmap, _ = runner.engine.process_pair(state, p, gmap, sub,
-                                                    fuse_prev=fuse_prev)
+        state, gmap, _, _ = runner.engine.process_pair(state, p, gmap, sub,
+                                                       fuse_prev=fuse_prev)
         fuse_prev = False
     jax.block_until_ready(gmap.count)
     print(f"4. after 10 process_pair, random map+frame: {t(pnn, rmap, rcolor, rdepth, rK, rpose):8.3f} ms")
