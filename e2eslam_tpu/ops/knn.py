@@ -2,11 +2,38 @@
 
 The reference's 3D point losses depend on ``chamferdist.chamfer.knn_points``,
 a PyTorch3D-derived C++/CUDA kernel (``loss/losses.py:3, 57-60``). On TPU we
-implement brute-force top-1 KNN as a tiled Pallas kernel: the [Nq, Nr]
-squared-distance matrix is never materialized in HBM — each (query-tile,
-ref-tile) block is formed in VMEM on the VPU as three broadcasted outer
-differences and min-reduced into a running (dist, index) accumulator that
-stays resident in VMEM across the ref-tile grid dimension.
+implement brute-force top-1 KNN as a tiled Pallas kernel that rides the MXU:
+
+    argmin_r ||q - r||^2  ==  argmax_r ( q . r  -  0.5 ||r||^2 )
+
+so by augmenting queries with a homogeneous 1 (``q' = [qx,qy,qz,1]``) and
+references with their negative half squared norm (``r' = [rx,ry,rz,-0.5|r|^2]``)
+the entire distance+bias computation for a (query-tile, ref-tile) block is ONE
+``[QT,4] x [4,RT]`` matmul on the systolic array; the VPU only runs the
+max/argmax reduction into a running (score, index) accumulator that stays
+resident in VMEM across the ref-tile grid dimension. The true squared distance
+is recovered as ``|q|^2 - 2 * best_score`` outside the kernel. Invalid
+(padded / beyond-count) reference rows carry a ``-1e30`` bias so they can never
+win the max — no per-tile masking work on the VPU. Ref tiles that lie entirely
+beyond the valid count are skipped with ``pl.when`` so fixed-capacity point
+buffers only pay for their *valid* prefix.
+
+Round 2 used a pure-VPU kernel (three broadcasted outer differences per
+block); the MXU formulation moves ~2/3 of the per-pair arithmetic onto the
+matrix unit. See BASELINE.md for the before/after trace.
+
+On top of the MXU formulation the kernel is a branch-and-bound EXACT search:
+per-tile axis-aligned bounding boxes (computed outside the kernel, passed
+through SMEM scalar prefetch) give a lower bound on the distance between any
+query in tile i and any reference in tile j; a block whose bound exceeds the
+tile's current worst best-distance is skipped entirely (``pl.when``), and
+reference tiles are visited NEWEST FIRST so sequential SLAM maps (whose best
+matches live in the most recent appends, and whose append-ordered tiles are
+scanline-coherent and therefore spatially tight) establish good bounds
+immediately. Pruning preserves exactness: a skipped block provably contains
+no query's nearest neighbor. The DMA still streams skipped blocks (~50 MB
+per 3M-point pass — negligible against HBM bandwidth); only compute is
+elided.
 
 Semantics match the reference call sites:
   * squared Euclidean distances to the nearest reference point;
@@ -32,7 +59,8 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 _QT = 256  # query tile (sublane-friendly)
-_RT = 1024  # reference tile (lane multiple)
+_RT = 2048  # reference tile (lane multiple; scores block = 2 MB VMEM)
+_NEG = -1e30  # bias sentinel for invalid reference rows
 
 
 def _pad_to(x: Array, size: int, axis: int, value=0.0) -> Array:
@@ -44,47 +72,93 @@ def _pad_to(x: Array, size: int, axis: int, value=0.0) -> Array:
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _knn_kernel(nr_ref, q_ref, r_ref, dist_ref, idx_ref):
-    """One (query-tile i, ref-tile j) step of the running-min KNN.
+def _make_knn_kernel(nrt: int):
+    """Kernel factory closing over the (static) reference tile count.
 
-    q_ref: [3, QT] transposed query block (VMEM)
-    r_ref: [3, RT] transposed reference block (VMEM)
-    dist/idx_ref: [8, QT] running accumulators (VMEM-resident across j;
-      8 replicated sublane rows to satisfy the TPU (8, 128) tile minimum)
-    nr_ref: [1] scalar — true number of reference points (SMEM prefetch)
+    Reference tiles are visited newest-first: grid step j maps to tile
+    ``jr = nrt - 1 - j``, so a sequential SLAM map's most recent appends
+    (where the matches are) establish tight bounds before older tiles are
+    considered — maximizing branch-and-bound pruning.
     """
-    j = pl.program_id(1)
 
-    @pl.when(j == 0)
-    def _init():
-        dist_ref[...] = jnp.full_like(dist_ref, jnp.inf)
-        idx_ref[...] = jnp.zeros_like(idx_ref)
+    def _knn_kernel(nq_ref, nr_ref, qbb_ref, rbb_ref, q_ref, r_ref,
+                    score_ref, idx_ref, wb_ref):
+        """One (query-tile i, ref-tile jr) step of the running-max MXU KNN.
 
-    qx = q_ref[0, :][:, None]  # [QT, 1]
-    qy = q_ref[1, :][:, None]
-    qz = q_ref[2, :][:, None]
-    rx = r_ref[0, :][None, :]  # [1, RT]
-    ry = r_ref[1, :][None, :]
-    rz = r_ref[2, :][None, :]
+        q_ref: [QT, 4] augmented query block (VMEM) — [qx, qy, qz, 1]
+        r_ref: [4, RT] augmented/transposed ref block (VMEM) —
+          [rx, ry, rz, -0.5|r|^2], bias row -1e30 on invalid rows
+        qbb_ref/rbb_ref: [n_tiles, 8] per-tile bboxes
+          [minx,miny,minz,maxx,maxy,maxz,0,0] (SMEM scalar prefetch)
+        score_ref/idx_ref: [8, QT] running accumulators (VMEM-resident
+          across j; 8 replicated sublane rows = TPU (8, 128) tile minimum)
+        wb_ref: [1, 1] SMEM scratch — the tile's current WORST best squared
+          distance (the branch-and-bound pruning threshold)
+        nq_ref, nr_ref: [1] scalars — valid query / reference counts
+        """
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        jr = nrt - 1 - j  # newest-first
 
-    dx = qx - rx
-    dy = qy - ry
-    dz = qz - rz
-    d2 = dx * dx + dy * dy + dz * dz  # [QT, RT]
+        @pl.when(j == 0)
+        def _init():
+            score_ref[...] = jnp.full_like(score_ref, _NEG)
+            idx_ref[...] = jnp.zeros_like(idx_ref)
+            wb_ref[0, 0] = jnp.float32(jnp.inf)
 
-    # Mask out padded reference entries.
-    col = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1) + j * _RT
-    d2 = jnp.where(col < nr_ref[0], d2, jnp.inf)
+        # Bbox lower bound between every q in tile i and every r in tile jr:
+        # per-axis gap max(0, qmin - rmax, rmin - qmax), summed squared.
+        lb2 = jnp.float32(0.0)
+        for ax in range(3):
+            gap = jnp.maximum(
+                jnp.maximum(qbb_ref[i, ax] - rbb_ref[jr, 3 + ax],
+                            rbb_ref[jr, ax] - qbb_ref[i, 3 + ax]),
+                0.0,
+            )
+            lb2 = lb2 + gap * gap
 
-    tile_min = jnp.min(d2, axis=1)  # [QT]
-    tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + j * _RT
+        # Skip: ref tiles beyond the valid count (fixed-capacity buffers),
+        # query tiles beyond the valid queries, and — the branch-and-bound
+        # cut — blocks whose bbox bound can't beat the current worst best.
+        # The DMA still streams skipped blocks; compute is elided.
+        run = (
+            (jr * _RT < nr_ref[0])
+            & (i * _QT < nq_ref[0])
+            & (lb2 < wb_ref[0, 0])
+        )
 
-    cur = dist_ref[0, :]
-    better = tile_min < cur
-    new_d = jnp.where(better, tile_min, cur)
-    new_i = jnp.where(better, tile_arg, idx_ref[0, :])
-    dist_ref[...] = jnp.broadcast_to(new_d[None, :], dist_ref.shape)
-    idx_ref[...] = jnp.broadcast_to(new_i[None, :], idx_ref.shape)
+        @pl.when(run)
+        def _body():
+            # HIGHEST precision: default TPU matmul truncates f32 operands
+            # to bf16, whose ~8-bit mantissa (abs err ~0.4 on meter-scale
+            # scores) would corrupt both the argmax winner and the recovered
+            # distance. K=4 keeps even the 6-pass f32 matmul cheap relative
+            # to the [QT, RT] reduction it feeds.
+            scores = jnp.dot(
+                q_ref[...], r_ref[...],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [QT, RT] — q.r - 0.5|r|^2 on the MXU
+            tile_max = jnp.max(scores, axis=1)  # [QT]
+            tile_arg = jnp.argmax(scores, axis=1).astype(jnp.int32) + jr * _RT
+
+            cur = score_ref[0, :]
+            better = tile_max > cur
+            new_s = jnp.where(better, tile_max, cur)
+            new_i = jnp.where(better, tile_arg, idx_ref[0, :])
+            score_ref[...] = jnp.broadcast_to(new_s[None, :], score_ref.shape)
+            idx_ref[...] = jnp.broadcast_to(new_i[None, :], idx_ref.shape)
+
+            # Update the pruning threshold: worst (max) best squared distance
+            # over the VALID queries of this tile. d^2 = |q|^2 - 2*score;
+            # |q|^2 is recovered from the augmented block (4th lane is 1).
+            q2 = jnp.sum(q_ref[...] * q_ref[...], axis=1) - 1.0  # [QT]
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, _QT), 1)[0]
+            valid = (i * _QT + col) < nq_ref[0]
+            d2 = jnp.where(valid, q2 - 2.0 * new_s, -jnp.inf)
+            wb_ref[0, 0] = jnp.max(d2)
+
+    return _knn_kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -105,35 +179,78 @@ def knn_pallas(query: Array, ref: Array, nr=None, *, interpret: bool = False):
     if nr is None:
         nr = Nr
     nr = jnp.asarray(nr, jnp.int32).reshape(1)
+    nq = jnp.asarray(Nq, jnp.int32).reshape(1)
 
     nq_pad = -(-Nq // _QT) * _QT
     nr_pad = -(-Nr // _RT) * _RT
-    qT = _pad_to(jnp.swapaxes(query.astype(jnp.float32), 0, 1), nq_pad, 1)
-    rT = _pad_to(jnp.swapaxes(ref.astype(jnp.float32), 0, 1), nr_pad, 1)
+
+    q = query.astype(jnp.float32)
+    q4 = jnp.concatenate([q, jnp.ones((Nq, 1), jnp.float32)], axis=1)
+    q4 = _pad_to(q4, nq_pad, 0)
+
+    r = ref.astype(jnp.float32)
+    bias = -0.5 * jnp.sum(r * r, axis=1)
+    valid = jnp.arange(Nr, dtype=jnp.int32) < nr[0]
+    bias = jnp.where(valid, bias, _NEG)
+    r4t = jnp.concatenate([r.T, bias[None, :]], axis=0)  # [4, Nr]
+    r4t = _pad_to(r4t, nr_pad, 1, value=0.0)
+    if nr_pad > Nr:
+        # Padded columns must also carry the sentinel bias.
+        col = jnp.arange(nr_pad, dtype=jnp.int32)
+        r4t = jnp.where(
+            jnp.logical_and(col[None, :] >= Nr,
+                            jnp.arange(4)[:, None] == 3),
+            _NEG,
+            r4t,
+        )
+
+    # Per-tile bboxes for branch-and-bound pruning (SMEM metadata).
+    # Padded/stale rows only ever WIDEN a bbox (bounds stay valid — pruning
+    # stays exact, just less effective on partially-valid tiles).
+    def tile_bbox(pts, tile):
+        t = pts.reshape(-1, tile, 3)
+        return jnp.concatenate(
+            [jnp.min(t, axis=1), jnp.max(t, axis=1),
+             jnp.zeros((t.shape[0], 2), jnp.float32)], axis=1
+        )  # [n_tiles, 8]
+
+    qbb = tile_bbox(_pad_to(q, nq_pad, 0), _QT)
+    rbb = tile_bbox(_pad_to(r, nr_pad, 0), _RT)
 
     grid = (nq_pad // _QT, nr_pad // _RT)
-    dists, idx = pl.pallas_call(
-        _knn_kernel,
+    nrt = grid[1]
+    scores, idx = pl.pallas_call(
+        _make_knn_kernel(nrt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((3, _QT), lambda i, j, nr: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((3, _RT), lambda i, j, nr: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_QT, 4), lambda i, j, *s: (i, 0),
+                             memory_space=pltpu.VMEM),
+                # newest-first ref tile order (see _make_knn_kernel)
+                pl.BlockSpec((4, _RT), lambda i, j, *s: (0, nrt - 1 - j),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((8, _QT), lambda i, j, nr: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, _QT), lambda i, j, nr: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, _QT), lambda i, j, *s: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, _QT), lambda i, j, *s: (i, 0),
+                             memory_space=pltpu.VMEM),
             ],
+            scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((grid[0] * 8, _QT), jnp.float32),
             jax.ShapeDtypeStruct((grid[0] * 8, _QT), jnp.int32),
         ],
         interpret=interpret,
-    )(nr, qT, rT)
+    )(nq, nr, qbb, rbb, q4, r4t)
     # Rows are replicated 8x within each tile block; keep row 0 of each.
-    return dists[::8].reshape(-1)[:Nq], idx[::8].reshape(-1)[:Nq]
+    best_score = scores[::8].reshape(-1)[:Nq]
+    best_idx = idx[::8].reshape(-1)[:Nq]
+    q2 = jnp.sum(q * q, axis=1)
+    d2 = jnp.maximum(q2 - 2.0 * best_score, 0.0)
+    return d2, best_idx
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))

@@ -21,7 +21,10 @@ import numpy as np
 
 
 def main():
+    from e2eslam_tpu.config import enable_compilation_cache
     from e2eslam_tpu.ops.knn import knn, knn_xla
+
+    enable_compilation_cache()
 
     assert jax.devices()[0].platform != "cpu", (
         "run on the real TPU (no JAX_PLATFORMS=cpu)"
@@ -40,11 +43,19 @@ def main():
             (d_pl, i_pl, d_xla, i_xla)
         )
 
-        # NumPy oracle (blocked to bound memory)
+        # NumPy oracle: BLAS form |q|^2 - 2 q.r + |r|^2 (the broadcasted
+        # outer-difference form allocated [4096, Nr, 3] blocks — gigabytes —
+        # and ate the tool's whole time budget at Nr=100k).
         d_np = np.empty(nq, np.float32)
         i_np = np.empty(nq, np.int64)
+        q2 = (q.astype(np.float64) ** 2).sum(-1)
+        r2 = (r.astype(np.float64) ** 2).sum(-1)
         for s in range(0, nq, 4096):
-            blk = ((q[s:s + 4096, None, :] - r[None, :, :]) ** 2).sum(-1)
+            blk = (
+                q2[s:s + 4096, None]
+                - 2.0 * (q[s:s + 4096].astype(np.float64) @ r.T.astype(np.float64))
+                + r2[None, :]
+            )
             d_np[s:s + 4096] = blk.min(1)
             i_np[s:s + 4096] = blk.argmin(1)
 
@@ -60,17 +71,46 @@ def main():
         print(f"{status} nq={nq:6d} nr={nr:6d} "
               f"pallas_d={ok_d} pallas_idx={ok_i} xla={ok_x}")
 
-    # honest timing: fetch a dependent scalar each call
+    # honest timing: fetch a dependent scalar each call. Two reference
+    # layouts at the exact-mode scale (82k frame pixels vs a ~3M-point map):
+    #   uniform — spatially incoherent tiles, worst case for the kernel's
+    #     bbox branch-and-bound (measures raw MXU throughput);
+    #   slam    — concatenated per-keyframe scanline clouds from the
+    #     synthetic renderer, the layout the exact mode actually sees
+    #     (append-ordered tiles are spatially tight -> pruning engages).
     nq, nr = 81920, 1_572_864
+    f = jax.jit(lambda a, b: knn(a, b)[0].sum())
+
+    def timed(q, r, label):
+        float(f(q, r))  # compile
+        t0 = time.perf_counter()
+        for _ in range(3):
+            float(f(q, r))
+        dt = (time.perf_counter() - t0) / 3
+        print(f"pallas knn {label} {nq}x{nr}: {dt*1e3:.1f} ms/call "
+              f"(incl host fetch)")
+
     q = jnp.asarray(rng.uniform(-2, 2, (nq, 3)).astype(np.float32))
     r = jnp.asarray(rng.uniform(-2, 2, (nr, 3)).astype(np.float32))
-    f = jax.jit(lambda a, b: knn(a, b)[0].sum())
-    float(f(q, r))  # compile
-    t0 = time.perf_counter()
-    for _ in range(3):
-        float(f(q, r))
-    dt = (time.perf_counter() - t0) / 3
-    print(f"pallas knn {nq}x{nr}: {dt*1e3:.1f} ms/call (incl host fetch)")
+    timed(q, r, "uniform")
+
+    from e2eslam_tpu.data.synthetic import SyntheticDataset
+
+    H, W = 256, 320
+    ds = SyntheticDataset(seqlen=20, height=H, width=W, dilation=2,
+                          total_frames=70)
+    colors, depths, K, poses, _ = ds[0]
+    clouds = []
+    for i in range(20):
+        d = depths[i, ..., 0]
+        ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        pc = np.stack([(xs - K[0, 2]) / K[0, 0] * d,
+                       (ys - K[1, 2]) / K[1, 1] * d, d], -1).reshape(-1, 3)
+        Rm, t = poses[i, :3, :3], poses[i, :3, 3]
+        clouds.append(pc @ Rm.T + t)
+    slam_map = np.concatenate(clouds).astype(np.float32)[:nr]
+    q_slam = jnp.asarray(clouds[-1].astype(np.float32)[:nq])
+    timed(q_slam, jnp.asarray(slam_map), "slam-layout")
 
     sys.exit(1 if failures else 0)
 
