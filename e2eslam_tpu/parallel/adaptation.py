@@ -53,14 +53,20 @@ def keyframe_schedule(poses: np.ndarray, threshold: float) -> List[tuple]:
 
 
 class ParallelAdaptation:
-    """Adapt N independent sequences, one per mesh slot, end to end."""
+    """Adapt N independent sequences over the mesh, end to end.
+
+    N defaults to the mesh size (one sequence per device); ``n_seq`` may be
+    any multiple of it — the extra sequences batch within each device
+    (single-chip multi-sequence throughput mode).
+    """
 
     def __init__(self, config, model, *, map_capacity: int,
-                 mesh: Optional[Mesh] = None):
+                 mesh: Optional[Mesh] = None, n_seq: Optional[int] = None):
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh()
         self.par = ParallelRefinement(
-            config, model, map_capacity=map_capacity, mesh=self.mesh
+            config, model, map_capacity=map_capacity, mesh=self.mesh,
+            n_seq=n_seq,
         )
         self.n = self.par.n
         self.R = int(config.OPTIMIZATION.refinement_steps)

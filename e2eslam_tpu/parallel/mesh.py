@@ -45,11 +45,24 @@ def replicate(mesh: Mesh, tree):
 
 
 class ParallelRefinement:
-    """N independent sequences adapting in lockstep, one per mesh slot."""
+    """N independent sequences adapting in lockstep over the mesh.
 
-    def __init__(self, config, model, *, map_capacity: int, mesh: Optional[Mesh] = None):
+    ``n_seq`` defaults to one sequence per mesh slot; passing a multiple of
+    the mesh size packs ``n_seq / mesh_size`` sequences per device — on a
+    single chip this is the BATCHED throughput mode (the CNN sees
+    ``2 * n_seq`` images per convolution, filling the MXU; VERDICT r2
+    next-round #2), and on a real mesh it composes with data parallelism.
+    """
+
+    def __init__(self, config, model, *, map_capacity: int,
+                 mesh: Optional[Mesh] = None, n_seq: Optional[int] = None):
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.n = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        mesh_size = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
+        self.n = int(n_seq) if n_seq else mesh_size
+        if self.n % mesh_size != 0:
+            raise ValueError(
+                f"n_seq={self.n} must be a multiple of mesh size {mesh_size}"
+            )
         self.engine = RefinementEngine(config, model, map_capacity=map_capacity)
         self.map_capacity = map_capacity
 

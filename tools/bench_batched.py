@@ -1,0 +1,160 @@
+"""Single-chip multi-sequence throughput bench (VERDICT r2 next-round #2).
+
+The flagship bench (bench.py) measures per-sequence LATENCY: one sequence,
+batch-2 convolutions, MFU ~2.5% — the step budget is row-wise gather/scatter
+overheads, not matmuls. This tool measures the THROUGHPUT axis: B independent
+sequences adapting concurrently on ONE chip via the `parallel/` ragged
+machinery with a size-1 mesh and a batched leading axis (``n_seq=B``) — the
+CNN sees ``2*B x 256x320`` convolutions per step and the MXU fills up.
+
+Reports, for B in {1, 2, 4, 8}: aggregate refine steps/s (sum over sequences
+/ wall clock) and measured CNN MFU against the v5e bf16 peak. CNN FLOPs per
+refine step are taken from the same conv-FLOP accounting used for the
+reference denominator (tools/measure_reference_torch.py): 10.66 GFLOP/frame
+forward at 320x256, x2 frames, x3 for fwd+bwd => 64 GFLOP/step. Losses,
+view synthesis, and fusion add compute beyond this, so the MFU figure is a
+conservative lower bound.
+
+Run on the real TPU chip:  python tools/bench_batched.py [--b 1 2 4 8]
+Prints one JSON line per B plus a summary table.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+CNN_FLOPS_PER_STEP = 6 * 10.664e9  # 2 frames x (fwd + 2x fwd for bwd)
+V5E_BF16_PEAK = 197e12
+
+
+def make_sequences(b, seq_len, h, w):
+    """B distinct synthetic sequences (staggered starts -> ragged schedules)."""
+    from e2eslam_tpu.data.synthetic import SyntheticDataset
+
+    colors, depths, intr, poses = [], [], [], []
+    for i in range(b):
+        ds = SyntheticDataset(
+            seqlen=seq_len, height=h, width=w, dilation=2,
+            start=7 * i, total_frames=3 * seq_len + 7 * b + 4,
+        )
+        c, d, K, p, _ = ds[0]
+        colors.append(c.astype(np.float32) / 255.0)
+        depths.append(d)
+        intr.append(K)
+        poses.append(p)
+    return (np.stack(colors), np.stack(depths), np.stack(intr),
+            np.stack(poses))
+
+
+def bench_one(cfg, b, sequences, *, runs=2):
+    from e2eslam_tpu.models.depth_net import (
+        init_depth_model,
+        make_depth_model,
+    )
+    from e2eslam_tpu.parallel.adaptation import ParallelAdaptation
+    from e2eslam_tpu.parallel.mesh import make_mesh
+
+    h, w = int(cfg.DATA.height), int(cfg.DATA.width)
+    seq_len = int(cfg.DEMO.sequence_length)
+    capacity = seq_len * h * w
+
+    model = make_depth_model(cfg)
+    params, stats = init_depth_model(model, jax.random.key(0), h, w)
+    mesh = make_mesh(1)
+    par = ParallelAdaptation(cfg, model, map_capacity=capacity, mesh=mesh,
+                             n_seq=b)
+    R = int(cfg.OPTIMIZATION.refinement_steps)
+    threshold = float(cfg.DEMO.frame_threshold)
+
+    best = None
+    wall = []
+    for _ in range(runs + 1):  # first run pays compile
+        state = par.init_state(params, stats, (2, h, w))
+        t0 = time.perf_counter()
+        out = par.run(state, sequences, threshold=threshold)
+        elapsed = time.perf_counter() - t0
+        total_steps = R * sum(
+            r["num_keyframes"] for r in out["per_sequence"]
+        )
+        rec = {
+            "B": b,
+            "aggregate_steps_per_sec": round(total_steps / elapsed, 2),
+            "elapsed_s": round(elapsed, 3),
+            "total_refine_steps": total_steps,
+            "keyframes": [r["num_keyframes"] for r in out["per_sequence"]],
+            "mean_abs_rel": round(float(np.mean(
+                [r["mean_abs_rel"] for r in out["per_sequence"]])), 5),
+            "mfu_pct": round(
+                100.0 * (total_steps / elapsed) * CNN_FLOPS_PER_STEP
+                / V5E_BF16_PEAK, 3),
+        }
+        wall.append(rec["aggregate_steps_per_sec"])
+        if best is None or rec["aggregate_steps_per_sec"] > best[
+                "aggregate_steps_per_sec"]:
+            best = rec
+    best["runs_steps_per_sec"] = wall[1:]  # steady-state runs
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--seq-len", type=int, default=60)
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    from e2eslam_tpu.config import (
+        default_config_path,
+        enable_compilation_cache,
+        load_yaml,
+    )
+
+    enable_compilation_cache()
+    cfg = load_yaml(default_config_path())
+    # Flagship knobs (bench.py): index fusion/assoc, quality gates, bf16.
+    cfg.DATA.name = "synthetic"
+    cfg.DATA.height, cfg.DATA.width = 256, 320
+    cfg.DEMO.sequence_length = args.seq_len
+    cfg.DEMO.frame_threshold = 0.03
+    cfg.OPTIMIZATION.refinement_steps = 3
+    cfg.LOSS.three3d_loss = True
+    cfg.MODEL.fusion_impl = "index"
+    cfg.LOSS.knn_impl = "index"
+    cfg.LOSS.three3d_query_stride = 1
+    cfg.LOSS.three3d_dist_gate = 0.15
+    cfg.LOSS.three3d_conf_weight = True
+    cfg.LOSS.three3d_loss_weight = 0.1
+    cfg.SETTINGS.compute_dtype = "bfloat16"
+    cfg.OPTIMIZATION.fused_update = True
+    cfg.ABLATION.median_stride = 4
+
+    results = []
+    for b in args.b:
+        seqs = make_sequences(b, args.seq_len, 256, 320)
+        rec = bench_one(cfg, b, seqs, runs=args.runs)
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+
+    base = results[0]["aggregate_steps_per_sec"]
+    print(json.dumps({
+        "summary": [
+            {"B": r["B"], "steps_per_sec": r["aggregate_steps_per_sec"],
+             "speedup_vs_B1": round(r["aggregate_steps_per_sec"] / base, 2),
+             "mfu_pct": r["mfu_pct"]}
+            for r in results
+        ]
+    }))
+
+
+if __name__ == "__main__":
+    main()
