@@ -34,6 +34,12 @@ def make_dataset(config, *, sequence_length: Optional[int] = None):
         from e2eslam_tpu.data.synthetic import SyntheticDataset
 
         total = (config.DATA.start or 0) + seqlen * ((config.DATA.dilation or 0) + 1) + 8
+        # Hard-mode knobs (see SyntheticDataset docstring); all default off.
+        kwargs.update(
+            textureless_frac=float(config.DATA.get("textureless_frac") or 0.0),
+            photo_jitter=float(config.DATA.get("photo_jitter") or 0.0),
+            trajectory=str(config.DATA.get("trajectory") or "arc"),
+        )
         return SyntheticDataset(total_frames=total, **kwargs)
     # Optional trajectory selection (reference exposes the gradslam dataset
     # ``trajectories`` argument, absolute_scale.py:81-88).

@@ -32,13 +32,54 @@ SPHERES = (
 )
 
 
-def _texture(X: np.ndarray) -> np.ndarray:
-    """Bandlimited RGB texture of world position X [..., 3] -> [..., 3]."""
+def _texture(X: np.ndarray, textureless_frac: float = 0.0) -> np.ndarray:
+    """Bandlimited RGB texture of world position X [..., 3] -> [..., 3].
+
+    ``textureless_frac`` > 0 replaces roughly that fraction of the surface
+    with flat constant-color patches (a low-frequency world-space mask, so
+    the patches are view-consistent like painted walls). Photometric view
+    synthesis gets ZERO gradient inside them — the regime where the
+    reference's 3D point supervision is supposed to carry the signal
+    (VERDICT r2 next-round #3; reference online_adaption.py:638-645).
+    """
     x, y, z = X[..., 0], X[..., 1], X[..., 2]
     r = 0.5 + 0.20 * np.sin(3.1 * x + 1.7 * z) + 0.15 * np.sin(7.3 * y)
     g = 0.5 + 0.20 * np.sin(2.3 * y + 1.1 * x) + 0.15 * np.sin(5.9 * z)
     b = 0.5 + 0.20 * np.sin(2.9 * z + 1.3 * y) + 0.15 * np.sin(6.7 * x)
-    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
+    rgb = np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0)
+    if textureless_frac > 0.0:
+        # Low-frequency mask; sin of a linear form is ~uniform on [-1, 1],
+        # so the > (1 - 2*frac) cut selects ~frac of the surface in a few
+        # large connected patches.
+        m = np.sin(0.9 * x + 0.7 * z + 1.1 * y + 0.4)
+        flat = m > (1.0 - 2.0 * float(textureless_frac))
+        rgb = np.where(flat[..., None], 0.55, rgb)
+    return rgb
+
+
+def _pose_revisit(t: float) -> np.ndarray:
+    """Out-and-back trajectory: the camera advances down the box and RETURNS
+    through previously mapped space (z period ~12.6 t-units, one full cycle
+    in a 60-frame dilation-2 window at dt=0.08). Revisits make the implicit
+    one-keyframe index window duplicate surfels unless a second index level
+    re-associates them (MODEL.index_levels: 2)."""
+    C = np.array(
+        [
+            2.0 + 0.45 * np.sin(0.9 * t),
+            1.5 + 0.10 * np.sin(1.3 * t),
+            2.5 + 1.5 * np.sin(0.5 * t),
+        ]
+    )
+    yaw = 0.12 * np.sin(0.7 * t)
+    pitch = 0.05 * np.sin(1.1 * t)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rx = np.array([[1, 0, 0], [0, cp, -sp], [0, sp, cp]])
+    T = np.eye(4)
+    T[:3, :3] = Ry @ Rx
+    T[:3, 3] = C
+    return T
 
 
 def _pose(t: float) -> np.ndarray:
@@ -69,7 +110,8 @@ def _pose(t: float) -> np.ndarray:
     return T
 
 
-def _render(pose: np.ndarray, K: np.ndarray, height: int, width: int):
+def _render(pose: np.ndarray, K: np.ndarray, height: int, width: int,
+            textureless_frac: float = 0.0):
     """Ray-cast the box interior. Returns (color [H,W,3] in [0,1], depth [H,W,1])."""
     xs, ys = np.meshgrid(np.arange(width), np.arange(height))
     d_cam = np.stack(
@@ -112,7 +154,7 @@ def _render(pose: np.ndarray, K: np.ndarray, height: int, width: int):
     # finite far depth instead of inf (keeps the pipeline NaN-free).
     best_s = np.minimum(best_s, 100.0)
     hit = C[None, None, :] + best_s[..., None] * d_w
-    color = _texture(hit)
+    color = _texture(hit, textureless_frac)
     depth = best_s.astype(np.float32)[..., None]  # d_cam z == 1
     assert np.isfinite(depth).all() and np.isfinite(color).all()
     return color.astype(np.float32), depth
@@ -133,10 +175,31 @@ class SyntheticDataset:
         start: int = 0,
         total_frames: int = 200,
         dt: float = 0.08,
+        textureless_frac: float = 0.0,
+        photo_jitter: float = 0.0,
+        trajectory: str = "arc",
     ):
+        """``textureless_frac``/``photo_jitter``/``trajectory`` are the
+        hard-mode knobs (VERDICT r2 next-round #3; all default OFF =
+        bitwise-identical to the round-2 dataset):
+
+        * textureless_frac: ~fraction of surface rendered as flat patches
+          (zero photometric gradient there);
+        * photo_jitter: per-frame exposure gain/offset + Gaussian pixel
+          noise of this magnitude applied to COLOR ONLY (poses/depth stay
+          exact), seeded by frame index — breaks brightness constancy the
+          way real auto-exposure video does;
+        * trajectory: "arc" (forward motion) or "revisit" (out-and-back
+          pass through previously mapped space).
+        """
         self.seqlen = seqlen
         self.height = height
         self.width = width
+        self.textureless_frac = float(textureless_frac)
+        self.photo_jitter = float(photo_jitter)
+        if trajectory not in ("arc", "revisit"):
+            raise ValueError(f"unknown trajectory {trajectory!r}")
+        self.trajectory = trajectory
         # gradslam semantics: dilation = frames skipped BETWEEN consecutive
         # extracted frames; stride = frames between window starts.
         self.dilation = dilation or 0
@@ -171,8 +234,23 @@ class SyntheticDataset:
 
     def _frame(self, idx: int):
         if idx not in self._cache:
-            pose = _pose(idx * self.dt).astype(np.float32)
-            color, depth = _render(pose, self.intrinsics, self.height, self.width)
+            pose_fn = _pose if self.trajectory == "arc" else _pose_revisit
+            pose = pose_fn(idx * self.dt).astype(np.float32)
+            color, depth = _render(
+                pose, self.intrinsics, self.height, self.width,
+                self.textureless_frac,
+            )
+            if self.photo_jitter > 0.0:
+                # Deterministic per-frame camera-response jitter: exposure
+                # gain + offset + pixel noise on color only.
+                j = self.photo_jitter
+                rng = np.random.default_rng(1000 + idx)
+                gain = 1.0 + j * rng.uniform(-1.0, 1.0)
+                offset = 0.5 * j * rng.uniform(-1.0, 1.0)
+                noise = (0.5 * j) * rng.standard_normal(color.shape)
+                color = np.clip(
+                    gain * color + offset + noise.astype(np.float32), 0.0, 1.0
+                ).astype(np.float32)
             self._cache[idx] = (color, depth, pose)
         return self._cache[idx]
 
