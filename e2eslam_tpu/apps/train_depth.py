@@ -90,12 +90,17 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
             config.VIZ.get("tensorboard") or config.VIZ.get("log_gradients")
         ) and logger is not None
         grads = None
+        plot_every = bool(config.DEBUG.get("plot")) and config.DEBUG.get(
+            "plot_path"
+        )
+        plot_interval = int(config.DEBUG.get("plot_interval", 10) or 10)
+        grad_images = None
         for rs in range(R):
             rng, sub = jax.random.split(rng)
             if want_hists and rs == R - 1:
                 # Last step through the grads-returning program: feeds the
-                # per-layer gradient histograms (reference hook_fn,
-                # train_depth.py:865-917).
+                # per-layer gradient histograms + activation-gradient image
+                # grids (reference hook_fn, train_depth.py:865-917).
                 state, metrics, grads = engine.refine_step_with_grads(
                     state, pair, gt_map, sub
                 )
@@ -108,9 +113,37 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
                     f"iter {it} refine_step {rs} loss {float(m['total_loss']):.5f} "
                     f"abs_rel {float(m['abs_rel']):.5f} a1 {float(m['a1']):.5f}"
                 )
+            if plot_every:
+                # PER-STEP dumps at the reference's cadence
+                # (train_depth.py:551-612): target + source frames at step 0,
+                # predicted depth + synthesized frame every plot_interval
+                # steps (reference: every 10).
+                from e2eslam_tpu.viz.images import (
+                    dump_debug_images, save_rgb,
+                )
+
+                if rs == 0:
+                    tgt = np.asarray(jax.device_get(pair.colors))
+                    save_rgb(
+                        f"{config.DEBUG.plot_path}/iter{it:04d}_step{rs}_tF.png",
+                        tgt[0],
+                    )
+                    for s in range(1, tgt.shape[0]):
+                        save_rgb(
+                            f"{config.DEBUG.plot_path}/iter{it:04d}_step{rs}_sF{s}.png",
+                            tgt[s],
+                        )
+                if rs % plot_interval == 0:
+                    m = jax.device_get(metrics)
+                    if "debug_images" in m:
+                        dump_debug_images(
+                            m["debug_images"], config.DEBUG.plot_path,
+                            f"iter{it:04d}_step{rs}",
+                        )
             if logger is not None:
                 m = dict(jax.device_get(metrics))
                 grad_norms = m.pop("grad_norms", None)
+                grad_images = m.pop("grad_images", grad_images)
                 m.pop("debug_images", None)
                 logger.log(
                     global_step,
@@ -122,6 +155,7 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
             m = dict(jax.device_get(metrics))
             debug_images = m.pop("debug_images", None)
             m.pop("grad_norms", None)
+            grad_images = m.pop("grad_images", grad_images)
             all_metrics.append(m)
             if debug_images is not None and config.DEBUG.get("plot_path"):
                 from e2eslam_tpu.viz.images import dump_debug_images
@@ -136,6 +170,33 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
 
                 hists = gradient_histograms(grads)
                 write_histograms(hists, logger, step=global_step)
+            if grad_images is not None:
+                # Designated-layer activation-gradient image grid with the
+                # reference's VIZ.tensorboard_scaled min+max scaling
+                # (train_depth.py:865-917); all-tap grad histograms go to the
+                # same logger as the param-grad ones.
+                from e2eslam_tpu.viz.images import dump_gradient_images
+                from e2eslam_tpu.viz.logging import (
+                    gradient_histograms, write_histograms,
+                )
+
+                out_dir = config.DEBUG.get("plot_path") or (
+                    f"{config.SETTINGS.log_path}/{config.SETTINGS.name}_grads"
+                )
+                dump_gradient_images(
+                    grad_images, out_dir, f"iter{it:04d}",
+                    layer=str(
+                        config.VIZ.get("grad_image_layer") or "upconv_0_1"
+                    ),
+                    scaled=bool(config.VIZ.get("tensorboard_scaled")),
+                    writer=getattr(logger, "_tb", None),
+                )
+                if logger is not None:
+                    write_histograms(
+                        gradient_histograms(grad_images), logger,
+                        step=global_step, prefix="grad_act/",
+                    )
+                grad_images = None
 
         if config.DEBUG.get("early_stop") and it >= int(config.DEBUG.get("iter_stop", 0)):
             break

@@ -155,8 +155,13 @@ class RefinementEngine:
     # ------------------------------------------------------------------
     # building blocks
     # ------------------------------------------------------------------
-    def _forward_depths(self, params, batch_stats, colors: Array):
-        """Batched depth forward for all F frames. Returns (disp, depth)."""
+    def _forward_depths(self, params, batch_stats, colors: Array, taps=None):
+        """Batched depth forward for all F frames. Returns (disp, depth).
+
+        ``taps``: optional dict of zero arrays added to the decoder conv
+        outputs (see models/decoders.py); differentiating w.r.t. them yields
+        activation gradients for the tensorboard image grids.
+        """
         cfg = self.config
         if cfg.ABLATION.get("dual_disparity", False):
             # Flip augmentation at inference: run image + horizontal flip in
@@ -171,7 +176,8 @@ class RefinementEngine:
             disp = _merge_dual_disparity(d[:F], d[F:][:, :, ::-1, :])
         else:
             out = self.model.apply(
-                {"params": params, "batch_stats": batch_stats}, colors, train=False
+                {"params": params, "batch_stats": batch_stats}, colors,
+                train=False, taps=taps,
             )
             disp = out[0].astype(jnp.float32)  # [F, H, W, 1] scale-0
         if cfg.MODEL.depth_network == "indoor":
@@ -424,7 +430,10 @@ class RefinementEngine:
                     det_map = jax.tree_util.tree_map(
                         jax.lax.stop_gradient, map_state
                     )
-                    nn_idx, found = index_nn(det_map, frame)
+                    lv = L.get("index_assoc_levels")
+                    nn_idx, found = index_nn(
+                        det_map, frame, levels=int(lv) if lv else None
+                    )
                     nn_idx = jax.lax.stop_gradient(nn_idx[::stride])
                     found = found[::stride]
                     # gather packed rows then slice: avoids materializing a
@@ -506,7 +515,7 @@ class RefinementEngine:
                     #   a->b: per-pixel map candidate from the index image
                     #     (impl=index) or the map->frame scatter-min
                     #     (impl=projective), like the three3d branch;
-                    #   b->a: pure gather — project每 valid map point into
+                    #   b->a: pure gather — project each valid map point into
                     #     the target camera and pair it with that pixel's
                     #     predicted point. No winner selection is needed for
                     #     the b->a mean, so it is O(N_map) elementwise.
@@ -518,7 +527,10 @@ class RefinementEngine:
                         jax.lax.stop_gradient, map_state
                     )
                     if impl == "index":
-                        nn_i, fnd = index_nn(det_map, frame)
+                        lv_c = L.get("index_assoc_levels")
+                        nn_i, fnd = index_nn(
+                            det_map, frame, levels=int(lv_c) if lv_c else None
+                        )
                     else:
                         aw_c = cfg.MODEL.get("active_window")
                         nn_i, fnd = projective_nn(
@@ -608,12 +620,32 @@ class RefinementEngine:
             cfg.VIZ.get("log_gradients") or cfg.VIZ.get("tensorboard")
         )
         obs_images = bool(cfg.DEBUG.get("plot"))
+        # Activation-gradient taps for the tensorboard image grids
+        # (reference hook_fn, train_depth.py:865-917): only on the
+        # grads-returning observability program, and incompatible with the
+        # doubled dual-disparity batch.
+        obs_tap_grads = (
+            return_grads
+            and bool(cfg.VIZ.get("grad_images") or cfg.VIZ.get("tensorboard"))
+            and not cfg.ABLATION.get("dual_disparity", False)
+        )
 
         def step(state: RefineState, pair: PairBatch, map_state: MapState,
                  map_index, rng):
-            def loss_fn(params):
+            taps = None
+            if obs_tap_grads:
+                from e2eslam_tpu.models.decoders import decoder_tap_shapes
+
+                Fb, Hh, Ww = pair.colors.shape[:3]
+                dtype = getattr(self.model, "dtype", jnp.float32)
+                taps = {
+                    k: jnp.zeros(s, dtype)
+                    for k, s in decoder_tap_shapes(Fb, Hh, Ww).items()
+                }
+
+            def loss_fn(params, taps):
                 disp, depth = self._forward_depths(
-                    params, state.batch_stats, pair.colors
+                    params, state.batch_stats, pair.colors, taps=taps
                 )
                 depth = self._apply_scaling(
                     depth, pair.gt_depths, intrinsics=pair.intrinsics
@@ -652,9 +684,15 @@ class RefinementEngine:
                     }
                 return loss, aux
 
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
+            tap_grads = None
+            if obs_tap_grads:
+                (loss, aux), (grads, tap_grads) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(state.params, taps)
+            else:
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, taps
+                )
             if cfg.MODEL.refinement_mode:
                 mask = self._bn_mask(state.params)
                 grads = jax.tree_util.tree_map(lambda g, m: g * m, grads, mask)
@@ -690,6 +728,13 @@ class RefinementEngine:
                 step=state.step + 1,
             )
             if return_grads:
+                if tap_grads is not None:
+                    # Activation gradients at each decoder conv (f32 for
+                    # rendering; keys upconv_{i}_{0,1}).
+                    metrics["grad_images"] = {
+                        k: v.astype(jnp.float32)
+                        for k, v in tap_grads.items()
+                    }
                 return new_state, metrics, grads
             return new_state, metrics
 

@@ -78,19 +78,30 @@ class _UNetDecoder(nn.Module):
         raise NotImplementedError
 
     @nn.compact
-    def __call__(self, features: Sequence[Array]) -> Dict[int, Array]:
+    def __call__(self, features: Sequence[Array],
+                 taps=None) -> Dict[int, Array]:
+        """``taps``: optional dict of ZERO arrays added to each decoder conv
+        output (keys ``upconv_{i}_{0,1}``). Differentiating the loss w.r.t.
+        a tap yields the gradient w.r.t. that activation — the functional
+        equivalent of the reference's conv backward hooks feeding its
+        tensorboard gradient histograms/image grids (train_depth.py:138-168,
+        865-917). ``None`` (the default) is a strict no-op."""
         outputs: Dict[int, Array] = {}
         x = features[-1]
         for i in range(4, -1, -1):
             x = ConvBlock(
                 DECODER_CHANNELS[i], dtype=self.dtype, name=f"upconv_{i}_0"
             )(x)
+            if taps is not None:
+                x = x + taps[f"upconv_{i}_0"]
             x = upsample_nearest_2x(x)
             if self.use_skips and i > 0:
                 x = jnp.concatenate([x, features[i - 1]], axis=-1)
             x = ConvBlock(
                 DECODER_CHANNELS[i], dtype=self.dtype, name=f"upconv_{i}_1"
             )(x)
+            if taps is not None:
+                x = x + taps[f"upconv_{i}_1"]
             if i in self.scales and i in self.head_scales:
                 logits = Conv3x3(
                     self.num_output_channels, dtype=self.dtype, name=f"dispconv_{i}"
@@ -124,19 +135,24 @@ class IndoorDepthDecoder(_UNetDecoder):
         return self.alpha * nn.sigmoid(x) + self.beta
 
     @nn.compact
-    def __call__(self, features: Sequence[Array]) -> Dict[int, Array]:
+    def __call__(self, features: Sequence[Array],
+                 taps=None) -> Dict[int, Array]:
         outputs: Dict[int, Array] = {}
         x = features[-1]
         for i in range(4, -1, -1):
             x = ConvBlock(
                 DECODER_CHANNELS[i], dtype=self.dtype, name=f"upconv_{i}_0"
             )(x)
+            if taps is not None:
+                x = x + taps[f"upconv_{i}_0"]
             x = upsample_nearest_2x(x)
             if self.use_skips and i > 0:
                 x = jnp.concatenate([x, features[i - 1]], axis=-1)
             x = ConvBlock(
                 DECODER_CHANNELS[i], dtype=self.dtype, name=f"upconv_{i}_1"
             )(x)
+            if taps is not None:
+                x = x + taps[f"upconv_{i}_1"]
             if i in self.scales:
                 # Instantiate every head (checkpoint parity) but only scale 0
                 # contributes to the outputs.
@@ -146,3 +162,19 @@ class IndoorDepthDecoder(_UNetDecoder):
                 if i == 0:
                     outputs[i] = self.head(logits)
         return outputs
+
+
+def decoder_tap_shapes(batch: int, height: int, width: int):
+    """Activation shapes of the ten decoder conv outputs (tap targets).
+
+    ``upconv_{i}_0`` lives at 1/2^(i+1) resolution (pre-upsample),
+    ``upconv_{i}_1`` at 1/2^i.
+    """
+    shapes = {}
+    for i in range(4, -1, -1):
+        c = DECODER_CHANNELS[i]
+        shapes[f"upconv_{i}_0"] = (
+            batch, height // 2 ** (i + 1), width // 2 ** (i + 1), c
+        )
+        shapes[f"upconv_{i}_1"] = (batch, height // 2 ** i, width // 2 ** i, c)
+    return shapes

@@ -31,7 +31,8 @@ class DispResNetIndoor(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Dict[int, Array]:
+    def __call__(self, x: Array, train: bool = False,
+                 taps=None) -> Dict[int, Array]:
         features = ResnetEncoder(
             num_layers=self.num_layers, dtype=self.dtype, name="encoder"
         )(x, train=train)
@@ -39,7 +40,7 @@ class DispResNetIndoor(nn.Module):
             num_ch_enc=tuple(encoder_channels(self.num_layers)),
             dtype=self.dtype,
             name="decoder",
-        )(features)
+        )(features, taps=taps)
 
 
 class MonodepthNet(nn.Module):
@@ -50,7 +51,8 @@ class MonodepthNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Dict[int, Array]:
+    def __call__(self, x: Array, train: bool = False,
+                 taps=None) -> Dict[int, Array]:
         features = ResnetEncoder(
             num_layers=self.num_layers, dtype=self.dtype, name="encoder"
         )(x, train=train)
@@ -59,7 +61,7 @@ class MonodepthNet(nn.Module):
             scales=tuple(self.scales),
             dtype=self.dtype,
             name="decoder",
-        )(features)
+        )(features, taps=taps)
 
 
 class AffineScale(nn.Module):

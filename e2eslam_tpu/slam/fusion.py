@@ -180,7 +180,7 @@ def _project_pixels(points: Array, pose: Array, intrinsics: Array,
     return pix, in_frame
 
 
-def index_nn(state: MapState, frame: RGBDFrame):
+def index_nn(state: MapState, frame: RGBDFrame, *, levels=None):
     """3D-loss association via the cached index image: O(HW) gathers.
 
     For each live pixel, project its (predicted) world vertex into the LAST
@@ -190,6 +190,13 @@ def index_nn(state: MapState, frame: RGBDFrame):
     limited to points visible in the last fused keyframe, the natural active
     window for sequential adaptation); exact modes remain available via
     ``LOSS.knn_impl: brute``.
+
+    ``levels=1`` restricts the association to the freshest index level even
+    when the map carries two (``MODEL.index_levels: 2``): fusion then dedups
+    revisited surfaces against BOTH cached keyframes while the 3D loss keeps
+    matching only recently-refined surfels (older matches measurably degrade
+    the loss — BASELINE.md round-2 ablation). Default ``None`` follows the
+    map's levels.
 
     Returns (nn_idx [HW] int32 clipped valid, found [HW] bool).
     """
@@ -204,7 +211,7 @@ def index_nn(state: MapState, frame: RGBDFrame):
     )
     cand = jnp.take(state.index_image, q)
     found = in_prev & (cand >= 0) & (live.mask > 0)
-    if state.index_image2 is not None:
+    if state.index_image2 is not None and (levels is None or levels >= 2):
         # Second level: pixels missed by the last keyframe's index fall back
         # to the previous-but-one (surfaces occluded/out-of-frame for one
         # keyframe re-associate instead of duplicating).

@@ -49,6 +49,89 @@ def save_error(path: str, error, *, cmap: str = "inferno") -> str:
                     title="photometric error")
 
 
+def save_gradient_image_grid(path: str, grad, *, scaled: bool = False,
+                             cmap: str = "coolwarm", max_channels: int = 64,
+                             title: Optional[str] = None) -> str:
+    """Render a per-channel grid of an activation-gradient map.
+
+    The TPU-native equivalent of the reference's
+    ``writer.add_images("Image_Layer_{idx}...", grads, dataformats='NCHW')``
+    at its designated decoder layer (indoor image_idx=33 / monodepth2
+    image_idx=10 — ``train_depth.py:880-917``): ``grad`` is [B, H, W, C]
+    (one decoder tap's gradient); each channel of the first batch element
+    becomes one tile of a square grid PNG.
+
+    ``scaled`` applies the reference's ``VIZ.tensorboard_scaled``
+    normalization verbatim: divide by (min + max), falling back to 1 when
+    that sum is exactly 0 (train_depth.py:871-878).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    g = np.asarray(grad, np.float32)
+    if g.ndim == 4:
+        g = g[0]  # [H, W, C]
+    if scaled:
+        s = float(g.min() + g.max())
+        g = g / (s if s != 0.0 else 1.0)
+    C = min(g.shape[-1], max_channels)
+    cols = int(np.ceil(np.sqrt(C)))
+    rows = int(np.ceil(C / cols))
+    fig, axes = plt.subplots(rows, cols, figsize=(2.2 * cols, 1.8 * rows),
+                             dpi=100)
+    axes = np.atleast_1d(axes).reshape(-1)
+    vmax = float(np.abs(g[..., :C]).max()) or 1.0
+    for c in range(C):
+        axes[c].imshow(g[..., c], cmap=cmap, vmin=-vmax, vmax=vmax)
+    for ax in axes:
+        ax.set_axis_off()
+    if title:
+        fig.suptitle(title, fontsize=10)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
+def dump_gradient_images(grad_images: Dict[str, np.ndarray], out_dir: str,
+                         tag: str, *, layer: str = "upconv_0_1",
+                         scaled: bool = False,
+                         writer=None) -> Dict[str, str]:
+    """Write the designated layer's gradient image grid (+ optional
+    tensorboardX images) from the engine's ``grad_images`` metrics payload.
+
+    ``layer`` selects the rendered tap (default the final 16-channel decoder
+    conv before the disparity head — the full-resolution analogue of the
+    reference's indoor image_idx=33 / monodepth2 image_idx=10 designated
+    layers). All taps are available in ``grad_images`` for histograms.
+    """
+    paths = {}
+    if layer not in grad_images:
+        raise KeyError(
+            f"grad layer {layer!r} not in taps {sorted(grad_images)}"
+        )
+    g = np.asarray(grad_images[layer], np.float32)
+    paths[layer] = save_gradient_image_grid(
+        os.path.join(out_dir, f"{tag}_grad_{layer}.png"), g, scaled=scaled,
+        title=f"dLoss/d({layer}) {tag}",
+    )
+    if writer is not None:
+        # tensorboardX add_images wants [N, C, H, W]; feed each channel as
+        # a single-channel image, normalized the same way as the PNG.
+        img = g[0]
+        if scaled:
+            s = float(img.min() + img.max())
+            img = img / (s if s != 0.0 else 1.0)
+        writer.add_images(
+            f"Image_Layer_{layer}_{tag}",
+            np.transpose(img, (2, 0, 1))[:, None, :, :],
+            dataformats="NCHW",
+        )
+    return paths
+
+
 def dump_debug_images(images: Dict[str, np.ndarray], out_dir: str,
                       tag: str) -> Dict[str, str]:
     """Write the engine's ``debug_images`` metrics payload to PNGs.

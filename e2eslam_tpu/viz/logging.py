@@ -51,7 +51,7 @@ class ScalarLogger:
 
 
 def write_histograms(hists: Dict[str, Dict], logger: ScalarLogger, *,
-                     step: int) -> None:
+                     step: int, prefix: str = "grad/") -> None:
     """Persist per-layer gradient histograms.
 
     tensorboardX (when installed) gets real ``add_histogram`` records — the
@@ -64,7 +64,7 @@ def write_histograms(hists: Dict[str, Dict], logger: ScalarLogger, *,
     if logger._tb is not None:
         for name, h in hists.items():
             logger._tb.add_histogram_raw(
-                f"grad/{name}",
+                f"{prefix}{name}",
                 min=float(h["edges"][0]),
                 max=float(h["edges"][-1]),
                 num=int(h["hist"].sum()),
@@ -80,7 +80,7 @@ def write_histograms(hists: Dict[str, Dict], logger: ScalarLogger, *,
         for name, h in hists.items():
             f.write(json.dumps({
                 "step": step,
-                "layer": name,
+                "layer": f"{prefix}{name}" if prefix != "grad/" else name,
                 "hist": [int(c) for c in h["hist"]],
                 "edges": [float(e) for e in h["edges"]],
                 "norm": h["norm"],

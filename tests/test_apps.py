@@ -178,6 +178,8 @@ def test_train_depth_observability(tmp_path):
     cfg.SETTINGS.log_path = str(tmp_path / "logs")
     cfg.SETTINGS.name = "obs_test"
     cfg.VIZ.log_gradients = True
+    cfg.VIZ.grad_images = True
+    cfg.VIZ.tensorboard_scaled = True
     cfg.DEBUG.plot = True
     cfg.DEBUG.plot_path = str(tmp_path / "plots")
     train(cfg, max_windows=1, verbose=False)
@@ -197,6 +199,16 @@ def test_train_depth_observability(tmp_path):
     assert any("synth" in p for p in plots)
     assert any("photo_err" in p for p in plots)
     assert any("depth" in p for p in plots)
+
+    # per-step DEBUG.plot cadence (reference train_depth.py:551-612):
+    # target/source frames at step 0 + per-step depth/synth dumps
+    assert any("step0_tF" in p for p in plots), plots
+    assert any("step0_sF" in p for p in plots), plots
+    assert any("step0_depth" in p or "step0_synth" in p for p in plots), plots
+
+    # designated-layer activation-gradient image grid
+    # (reference hook_fn image layer, train_depth.py:880-917)
+    assert any("grad_upconv_0_1" in p for p in plots), plots
 
     # gradient histograms: tensorboardX event file or JSONL fallback
     logdir_files = os.listdir(tmp_path / "logs")

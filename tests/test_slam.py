@@ -370,3 +370,33 @@ def test_two_level_index_reduces_duplicates(seq):
     c1, c2 = run(1), run(2)
     assert c2 <= c1  # two-level never appends more
     assert c2 < c1  # and on a revisit pattern it strictly merges more
+
+
+def test_index_nn_assoc_levels_decoupled(seq):
+    """LOSS.index_assoc_levels=1: with a two-level map, the 3D-loss
+    association can be restricted to the FRESH index level (fusion keeps
+    deduping through both) — levels=1 must match a single-level map's
+    association and differ from the two-level one on revisit patterns."""
+    from e2eslam_tpu.slam.fusion import index_nn, pointfusion_step_index
+
+    f0, f1 = _frame(seq, 0), _frame(seq, 1)
+    m2 = empty_map(5 * H * W, index_hw=H * W, index_levels=2)
+    for f in (f0, f1):
+        m2 = pointfusion_step_index(m2, f)
+
+    # query from f0's viewpoint: its surfaces are mostly in level 2 (fused
+    # at f0) and only partially in the fresh f1 index
+    idx_all, found_all = index_nn(m2, f0)
+    idx_one, found_one = index_nn(m2, f0, levels=1)
+    found_all, found_one = np.asarray(found_all), np.asarray(found_one)
+    assert found_all.sum() > found_one.sum()  # level 2 adds matches
+
+    # levels=1 equals the fresh-level-only association bitwise
+    m1 = empty_map(5 * H * W, index_hw=H * W, index_levels=1)
+    for f in (f0, f1):
+        m1 = pointfusion_step_index(m1, f)
+    idx_ref, found_ref = index_nn(m1, f0)
+    np.testing.assert_array_equal(found_one, np.asarray(found_ref))
+    np.testing.assert_array_equal(
+        np.asarray(idx_one)[found_one], np.asarray(idx_ref)[found_one]
+    )
