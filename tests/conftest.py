@@ -17,3 +17,10 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force via config.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+# Persistent compile cache: the heavy tests compile whole-sequence programs;
+# caching them makes repeat suite runs (and the smoke tier) far cheaper.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache_tests")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
