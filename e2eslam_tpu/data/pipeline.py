@@ -39,6 +39,9 @@ def make_dataset(config, *, sequence_length: Optional[int] = None):
             textureless_frac=float(config.DATA.get("textureless_frac") or 0.0),
             photo_jitter=float(config.DATA.get("photo_jitter") or 0.0),
             trajectory=str(config.DATA.get("trajectory") or "arc"),
+            textureless_spheres=bool(
+                config.DATA.get("textureless_spheres") or False
+            ),
         )
         return SyntheticDataset(total_frames=total, **kwargs)
     # Optional trajectory selection (reference exposes the gradslam dataset

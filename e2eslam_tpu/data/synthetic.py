@@ -111,7 +111,8 @@ def _pose(t: float) -> np.ndarray:
 
 
 def _render(pose: np.ndarray, K: np.ndarray, height: int, width: int,
-            textureless_frac: float = 0.0):
+            textureless_frac: float = 0.0,
+            textureless_spheres: bool = False):
     """Ray-cast the box interior. Returns (color [H,W,3] in [0,1], depth [H,W,1])."""
     xs, ys = np.meshgrid(np.arange(width), np.arange(height))
     d_cam = np.stack(
@@ -155,6 +156,18 @@ def _render(pose: np.ndarray, K: np.ndarray, height: int, width: int,
     best_s = np.minimum(best_s, 100.0)
     hit = C[None, None, :] + best_s[..., None] * d_w
     color = _texture(hit, textureless_frac)
+    if textureless_spheres:
+        # Flat-shade every sphere: CURVED geometry under constant color —
+        # photometric view synthesis is blind there and edge-aware
+        # smoothness extrapolates the (wrong) planar assumption across the
+        # bulge; only multi-view 3D consistency carries a signal.
+        on_sphere = np.zeros(best_s.shape, bool)
+        for center, radius in SPHERES:
+            on_sphere |= (
+                np.linalg.norm(hit - center[None, None, :], axis=-1)
+                < radius + 1e-3
+            )
+        color = np.where(on_sphere[..., None], 0.55, color)
     depth = best_s.astype(np.float32)[..., None]  # d_cam z == 1
     assert np.isfinite(depth).all() and np.isfinite(color).all()
     return color.astype(np.float32), depth
@@ -178,6 +191,7 @@ class SyntheticDataset:
         textureless_frac: float = 0.0,
         photo_jitter: float = 0.0,
         trajectory: str = "arc",
+        textureless_spheres: bool = False,
     ):
         """``textureless_frac``/``photo_jitter``/``trajectory`` are the
         hard-mode knobs (VERDICT r2 next-round #3; all default OFF =
@@ -196,6 +210,7 @@ class SyntheticDataset:
         self.height = height
         self.width = width
         self.textureless_frac = float(textureless_frac)
+        self.textureless_spheres = bool(textureless_spheres)
         self.photo_jitter = float(photo_jitter)
         if trajectory not in ("arc", "revisit"):
             raise ValueError(f"unknown trajectory {trajectory!r}")
@@ -238,7 +253,7 @@ class SyntheticDataset:
             pose = pose_fn(idx * self.dt).astype(np.float32)
             color, depth = _render(
                 pose, self.intrinsics, self.height, self.width,
-                self.textureless_frac,
+                self.textureless_frac, self.textureless_spheres,
             )
             if self.photo_jitter > 0.0:
                 # Deterministic per-frame camera-response jitter: exposure

@@ -115,6 +115,9 @@ class RefinementEngine:
             active_window=int(aw) if aw else None,
             fusion_impl=str(config.MODEL.get("fusion_impl", "scatter")),
             index_levels=int(config.MODEL.get("index_levels", 1) or 1),
+            index_level2_period=int(
+                config.MODEL.get("index_level2_period", 1) or 1
+            ),
         )
         if (
             str(config.LOSS.get("knn_impl", "brute")) == "index"
@@ -578,8 +581,12 @@ class RefinementEngine:
                     d_ab = jnp.sum(d_ab) / jnp.maximum(jnp.sum(msk), 1.0)
 
                     pts_safe = jnp.where(msk[:, None] > 0, pts, 1e6)
+                    # nq=map_count: the map buffer is fixed-capacity; the
+                    # kernel skips query tiles beyond the valid prefix, so
+                    # this direction costs O(actual map size), not capacity.
                     idx_ba = jax.lax.stop_gradient(
-                        knn(map_pts, jax.lax.stop_gradient(pts_safe))[1]
+                        knn(map_pts, jax.lax.stop_gradient(pts_safe),
+                            nq=map_count)[1]
                     )
                     mvalid = (
                         jnp.arange(map_pts.shape[0]) < map_count

@@ -129,11 +129,14 @@ def _make_knn_kernel(nrt: int):
 
         @pl.when(run)
         def _body():
-            # HIGHEST precision: default TPU matmul truncates f32 operands
-            # to bf16, whose ~8-bit mantissa (abs err ~0.4 on meter-scale
-            # scores) would corrupt both the argmax winner and the recovered
-            # distance. K=4 keeps even the 6-pass f32 matmul cheap relative
-            # to the [QT, RT] reduction it feeds.
+            # HIGHEST precision (6-pass f32): DEFAULT truncates f32
+            # operands to bf16, whose ~8-bit mantissa (abs err ~0.4 on
+            # meter-scale scores) would corrupt the argmax winner; HIGH
+            # (3-pass) would suffice for ranking but Mosaic only lowers
+            # DEFAULT/HIGHEST. K=4 keeps the 6-pass matmul cheap relative
+            # to the [QT, RT] reduction it feeds. Measured on chip: the
+            # 82k x 1.57M exact query runs 1336 ms uniform / 223 ms on a
+            # SLAM-layout map (branch-and-bound engaged).
             scores = jnp.dot(
                 q_ref[...], r_ref[...],
                 preferred_element_type=jnp.float32,
@@ -162,7 +165,8 @@ def _make_knn_kernel(nrt: int):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def knn_pallas(query: Array, ref: Array, nr=None, *, interpret: bool = False):
+def knn_pallas(query: Array, ref: Array, nr=None, nq=None, *,
+               interpret: bool = False):
     """Top-1 KNN: for each query point, nearest reference point.
 
     Args:
@@ -170,16 +174,24 @@ def knn_pallas(query: Array, ref: Array, nr=None, *, interpret: bool = False):
       ref: ``[Nr, 3]`` points.
       nr: optional scalar int — number of VALID reference points (for
         fixed-capacity point buffers; defaults to ``Nr``).
+      nq: optional scalar int — number of VALID query points; query tiles
+        beyond it are skipped entirely (results there are garbage and must
+        be masked by the caller). This is what makes the exact chamfer's
+        map->frame direction scale with the map's ACTUAL size instead of
+        its fixed capacity.
 
     Returns:
-      (sq_dists ``[Nq]`` float32, indices ``[Nq]`` int32).
+      (sq_dists ``[Nq]`` float32, indices ``[Nq]`` int32; entries past
+      ``nq`` are undefined).
     """
     Nq = query.shape[0]
     Nr = ref.shape[0]
     if nr is None:
         nr = Nr
+    if nq is None:
+        nq = Nq
     nr = jnp.asarray(nr, jnp.int32).reshape(1)
-    nq = jnp.asarray(Nq, jnp.int32).reshape(1)
+    nq = jnp.asarray(nq, jnp.int32).reshape(1)
 
     nq_pad = -(-Nq // _QT) * _QT
     nr_pad = -(-Nr // _RT) * _RT
@@ -292,8 +304,12 @@ def knn_xla(query: Array, ref: Array, nr=None, *, tile: int = 2048):
     return jnp.maximum(best_d, 0.0), best_i
 
 
-def knn(query: Array, ref: Array, nr=None):
-    """Backend-dispatching top-1 KNN (Pallas on TPU, XLA elsewhere)."""
+def knn(query: Array, ref: Array, nr=None, nq=None):
+    """Backend-dispatching top-1 KNN (Pallas on TPU, XLA elsewhere).
+
+    ``nq`` (valid query count): results past it are undefined — the Pallas
+    kernel skips those tiles; the XLA fallback computes them anyway.
+    """
     if jax.default_backend() == "tpu":
-        return knn_pallas(query, ref, nr)
+        return knn_pallas(query, ref, nr, nq)
     return knn_xla(query, ref, nr)

@@ -233,6 +233,7 @@ def pointfusion_step_index(
     dist_th: float = 0.05,
     angle_th: Optional[float] = 20.0,
     sigma: float = 0.6,
+    level2_period: int = 1,
 ) -> MapState:
     """Index-image PointFusion: association by gather, fusion by 82k-row
     scatter-sets — no O(N_map)-update scatters or full-map passes anywhere.
@@ -332,17 +333,39 @@ def pointfusion_step_index(
         similar, cand_c, jnp.where(ok, dest, jnp.int32(-1))
     ).astype(jnp.int32)
 
+    # ---- 5. maintain the second index level ------------------------------
+    # level2_period == 1 (default): the round-2 behavior — level 2 is the
+    # previous keyframe's index (covers one-keyframe occlusion gaps).
+    # level2_period K > 1: a SLOW level — every K-th fused keyframe's index
+    # is snapshotted and HELD for the next K keyframes, so surfaces
+    # revisited up to ~K keyframes later (out-and-back trajectories, small
+    # loops) re-associate through the held snapshot instead of duplicating.
+    # Slot ids in a held snapshot stay valid: map rows never move.
+    if state.index_image2 is None:
+        idx2, pose2, kctr = None, None, state.kf_counter
+    elif level2_period <= 1 or state.kf_counter is None:
+        idx2 = state.index_image
+        pose2 = state.index_pose
+        kctr = (
+            None if state.kf_counter is None else state.kf_counter + 1
+        )
+    else:
+        refresh = (state.kf_counter % level2_period) == 0
+        idx2 = jnp.where(refresh, new_index, state.index_image2)
+        pose2 = jnp.where(
+            refresh, frame.pose.astype(state.index_pose2.dtype),
+            state.index_pose2,
+        )
+        kctr = state.kf_counter + 1
+
     return MapState(
         data=data,
         count=count,
         index_image=new_index,
         index_pose=frame.pose.astype(state.index_pose.dtype),
-        index_image2=(
-            None if state.index_image2 is None else state.index_image
-        ),
-        index_pose2=(
-            None if state.index_pose2 is None else state.index_pose
-        ),
+        index_image2=idx2,
+        index_pose2=pose2,
+        kf_counter=kctr,
     )
 
 

@@ -50,8 +50,14 @@ class MapState(NamedTuple):
     count: Array  # [] int32 — number of valid entries
     index_image: Array | None = None  # [H*W] int32 map slot per pixel, -1 none
     index_pose: Array | None = None  # [4, 4] pose of the index image's frame
-    index_image2: Array | None = None  # previous-but-one keyframe's slots
+    index_image2: Array | None = None  # second-level slots (see fusion)
     index_pose2: Array | None = None
+    # Fused-keyframe counter, present iff two index levels are kept; drives
+    # the level-2 refresh period (a SLOW level held for K keyframes lets
+    # surfaces revisited ~K keyframes later re-associate instead of
+    # duplicating — a loop-closure-scale dedup the 1-keyframe-deep shift
+    # cannot provide).
+    kf_counter: Array | None = None
 
     # ---- field views (lazy slices; fuse into consumers under jit) --------
     @property
@@ -111,6 +117,7 @@ def empty_map(capacity: int, dtype=jnp.float32, *,
             None if not index_levels2 else jnp.full((index_hw,), -1, jnp.int32)
         ),
         index_pose2=None if not index_levels2 else jnp.eye(4, dtype=dtype),
+        kf_counter=None if not index_levels2 else jnp.zeros((), jnp.int32),
     )
 
 

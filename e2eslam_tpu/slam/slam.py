@@ -66,6 +66,9 @@ class PointFusion:
     active_window: int | None = None  # bound association to newest W points
     fusion_impl: str = "scatter"  # scatter (gradslam-like) | index (O(HW))
     index_levels: int = 1  # index impl: 1 or 2 cached keyframe index images
+    # Level-2 refresh period: 1 = previous keyframe (occlusion gaps);
+    # K > 1 = slow snapshot held K keyframes (revisit/loop dedup).
+    index_level2_period: int = 1
 
     def _update_map(self, state: MapState, frame: RGBDFrame) -> MapState:
         if self.fusion_impl == "index":
@@ -77,6 +80,7 @@ class PointFusion:
                 dist_th=self.dist_th,
                 angle_th=self.angle_th,
                 sigma=self.sigma,
+                level2_period=self.index_level2_period,
             )
         return pointfusion_step(
             state,

@@ -58,6 +58,19 @@ def test_knn_pallas_interpret_valid_count():
     np.testing.assert_allclose(np.asarray(d), bd, atol=1e-5)
 
 
+def test_knn_pallas_interpret_valid_query_count():
+    """nq: tiles past the valid query prefix are skipped; the prefix must
+    still be exact (tail entries are documented as undefined)."""
+    rng = np.random.default_rng(7)
+    q = rng.normal(size=(1024, 3)).astype(np.float32)
+    r = rng.normal(size=(2048, 3)).astype(np.float32)
+    nq = 300
+    d, i = knn_pallas(jnp.asarray(q), jnp.asarray(r), nq=nq, interpret=True)
+    bd, bi = brute(q[:nq], r)
+    np.testing.assert_array_equal(np.asarray(i)[:nq], bi)
+    np.testing.assert_allclose(np.asarray(d)[:nq], bd, atol=1e-5)
+
+
 def test_knn_points_loss_value_and_grads():
     rng = np.random.default_rng(4)
     gt = jnp.asarray(rng.normal(size=(100, 3)).astype(np.float32))

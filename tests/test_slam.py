@@ -400,3 +400,24 @@ def test_index_nn_assoc_levels_decoupled(seq):
     np.testing.assert_array_equal(
         np.asarray(idx_one)[found_one], np.asarray(idx_ref)[found_one]
     )
+
+
+def test_slow_level2_dedups_late_revisit(seq):
+    """index_level2_period K>1: a held level-2 snapshot re-associates
+    surfaces revisited MORE than one keyframe later — the shift-every-
+    keyframe level (period 1) cannot."""
+    from e2eslam_tpu.slam.fusion import pointfusion_step_index
+
+    f0, f1, f2 = _frame(seq, 0), _frame(seq, 1), _frame(seq, 2)
+
+    def run(period):
+        m = empty_map(6 * H * W, index_hw=H * W, index_levels=2)
+        # f0 -> f1 -> f2 -> f0-revisit: at the revisit, period-1 level 2
+        # holds f1's index (no f0 overlap guarantees), while a held
+        # snapshot from f0 (period >= 4) re-finds f0's own surfels.
+        for f in (f0, f1, f2, f0):
+            m = pointfusion_step_index(m, f, level2_period=period)
+        return int(m.count)
+
+    c_fast, c_slow = run(1), run(10)
+    assert c_slow < c_fast, (c_fast, c_slow)

@@ -68,6 +68,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frac", type=float, default=0.35)
     ap.add_argument("--jitter", type=float, default=0.08)
+    ap.add_argument("--flat-spheres", action="store_true",
+                    help="flat-shade the spheres (curved geometry with zero "
+                         "photometric gradient)")
     ap.add_argument("--seq-len", type=int, default=60)
     ap.add_argument("--skip-revisit", action="store_true")
     args = ap.parse_args()
@@ -79,6 +82,7 @@ def main():
     base = flagship_config(args.seq_len)
     base.DATA.textureless_frac = args.frac
     base.DATA.photo_jitter = args.jitter
+    base.DATA.textureless_spheres = bool(args.flat_spheres)
 
     on = run_row(base, "hard three3d ON (flagship knobs)")
     off_cfg = base.copy()
@@ -95,10 +99,21 @@ def main():
         r1 = run_row(rev, "revisit index_levels 1")
         rev2 = rev.copy()
         rev2.MODEL.index_levels = 2
-        r2 = run_row(rev2, "revisit index_levels 2")
+        r2 = run_row(rev2, "revisit index_levels 2 (shift)")
+        # Slow level 2 (round 3): snapshot held ~the whole out-and-back
+        # period, so the return pass re-associates through it; the 3D loss
+        # keeps associating against the FRESH level only (decoupled via
+        # LOSS.index_assoc_levels) so dedup cannot degrade the loss.
+        rev3 = rev.copy()
+        rev3.MODEL.index_levels = 2
+        rev3.MODEL.index_level2_period = 40
+        rev3.LOSS.index_assoc_levels = 1
+        r3 = run_row(rev3, "revisit slow L2 period=40 assoc=fresh")
         print(json.dumps({
-            "revisit_dedup_map_point_ratio": round(
+            "revisit_shift_dedup_ratio": round(
                 r2["map_points"] / max(r1["map_points"], 1), 4),
+            "revisit_slow_dedup_ratio": round(
+                r3["map_points"] / max(r1["map_points"], 1), 4),
         }), flush=True)
 
 
