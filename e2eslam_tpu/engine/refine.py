@@ -118,6 +118,9 @@ class RefinementEngine:
             index_level2_period=int(
                 config.MODEL.get("index_level2_period", 1) or 1
             ),
+            index_search_radius=int(
+                config.MODEL.get("index_search_radius", 0) or 0
+            ),
         )
         if (
             str(config.LOSS.get("knn_impl", "brute")) == "index"

@@ -69,6 +69,10 @@ class PointFusion:
     # Level-2 refresh period: 1 = previous keyframe (occlusion gaps);
     # K > 1 = slow snapshot held K keyframes (revisit/loop dedup).
     index_level2_period: int = 1
+    # Fusion association probes the (2r+1)^2 index neighborhood and keeps
+    # the nearest candidate (r=0: exact pixel only). Removes duplicate
+    # appends caused by projection rounding / winner overwrites.
+    index_search_radius: int = 0
 
     def _update_map(self, state: MapState, frame: RGBDFrame) -> MapState:
         if self.fusion_impl == "index":
@@ -81,6 +85,7 @@ class PointFusion:
                 angle_th=self.angle_th,
                 sigma=self.sigma,
                 level2_period=self.index_level2_period,
+                search_radius=self.index_search_radius,
             )
         return pointfusion_step(
             state,

@@ -25,6 +25,7 @@ def tiny_config(**overrides):
     return cfg
 
 
+@pytest.mark.slow
 def test_online_adaption_end_to_end():
     from e2eslam_tpu.engine.adaptation import OnlineAdaptation
 
@@ -41,6 +42,7 @@ def test_online_adaption_end_to_end():
     assert result["rpe"] < 1e-5
 
 
+@pytest.mark.slow
 def test_online_adaption_gradicp_ate():
     """odom: gradicp — the estimated trajectory is scored, finite, small.
 
@@ -65,6 +67,7 @@ def test_online_adaption_gradicp_ate():
                                atol=1e-3)
 
 
+@pytest.mark.slow
 def test_online_adaption_index_impl():
     """fusion_impl=index + knn_impl=index: the O(HW) gather-based fusion and
     3D-loss association run end to end (TPU-first fast path)."""
@@ -86,6 +89,7 @@ def test_online_adaption_index_impl():
     )
 
 
+@pytest.mark.slow
 def test_online_adaption_chamfer_index_backend():
     """Bidirectional chamfer with the projective/index backend (no KNN):
     runs end to end, loss is live and finite, same order as the brute
@@ -114,6 +118,7 @@ def test_online_adaption_chamfer_index_backend():
     assert cb / 50 < ci < cb * 50, (ci, cb)
 
 
+@pytest.mark.slow
 def test_three3d_quality_knobs():
     """Distance gate + confidence weighting on the index 3D loss run and
     stay finite (off-by-default knobs; TPU-first additions)."""
@@ -146,6 +151,7 @@ def test_knn_impl_index_requires_index_fusion():
         OnlineAdaptation(cfg)
 
 
+@pytest.mark.slow
 def test_online_adaption_three_frame_refinement():
     """DEMO.sequence_length_refinement=3: middle-target F-frame windows
     (reference demo.py:437-452 / train_depth DATA.frames=[0,-1,1])."""
@@ -161,6 +167,7 @@ def test_online_adaption_three_frame_refinement():
     assert result["map_points"] > 0
 
 
+@pytest.mark.slow
 def test_train_depth_observability(tmp_path):
     """Gradient observability + debug image dumps end-to-end (VERDICT r1
     item 6): per-layer grad norms land in the scalar JSONL, gradient
@@ -299,6 +306,7 @@ def test_pose_checker():
     assert check(cfg, verbose=False) < 1e-4
 
 
+@pytest.mark.slow
 def test_online_adaption_voxel_knn():
     from e2eslam_tpu.engine.adaptation import OnlineAdaptation
 
@@ -309,6 +317,7 @@ def test_online_adaption_voxel_knn():
     assert np.isfinite(result["mean_abs_rel"])
 
 
+@pytest.mark.slow
 def test_online_adaption_projective_knn():
     from e2eslam_tpu.engine.adaptation import OnlineAdaptation
 
@@ -320,6 +329,7 @@ def test_online_adaption_projective_knn():
     assert any(float(m["three3d"]) > 0 for m in result["metrics"][1:])
 
 
+@pytest.mark.slow
 def test_demo_snapshots(tmp_path):
     from e2eslam_tpu.apps.demo import Demo
 
@@ -334,6 +344,7 @@ def test_demo_snapshots(tmp_path):
     assert all(os.path.exists(p) for p in paths)
 
 
+@pytest.mark.slow
 def test_demo_animation_parity(tmp_path):
     """Animated map-update HTML matches the reference payload shape
     (advanced_vis.py:7-170): per-keyframe frames of [frustum, center,

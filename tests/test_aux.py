@@ -14,6 +14,7 @@ from e2eslam_tpu.utils import corrupt_rgbd, noise_color, noise_depth, remove_pix
 from e2eslam_tpu.utils.focal import average_focal, average_focal_from_dir
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     import optax
 

@@ -160,6 +160,7 @@ def test_tum_dataset_association(tmp_path):
 MINI_ICL = os.path.join(os.path.dirname(__file__), "data")
 
 
+@pytest.mark.slow
 def test_mini_icl_disk_sequence_end_to_end():
     """Regression over the checked-in ICL-format mini sequence: the REAL
     data path (PNG decode via the native loader when built, resize +

@@ -48,6 +48,7 @@ def _engine_and_state(cfg):
     return engine, state
 
 
+@pytest.mark.slow
 def test_pft_reduces_photometric_loss(pair):
     cfg = small_config()
     engine, state = _engine_and_state(cfg)
@@ -62,6 +63,7 @@ def test_pft_reduces_photometric_loss(pair):
     assert all(np.isfinite(losses))
 
 
+@pytest.mark.slow
 def test_pft_with_all_losses_enabled(pair):
     cfg = small_config(**{
         "LOSS.three3d_loss": True,
@@ -209,6 +211,7 @@ def test_use_estimated_pose_mode():
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+@pytest.mark.slow
 def test_chamfer_with_partial_gt_depth():
     """Chamfer with zero-depth GT pixels: the map drops them (fusion masks),
     invalid-query masking keeps both directions finite, and the loss reflects
@@ -239,6 +242,7 @@ def test_chamfer_with_partial_gt_depth():
     assert np.isfinite(ch) and ch > 0
 
 
+@pytest.mark.slow
 def test_fuse_pair_with_gradicp_odometry():
     """MODEL.odom: gradicp (the reference default): fusion localizes the live
     frame by differentiable ICP instead of trusting GT poses."""
@@ -260,6 +264,7 @@ def test_fuse_pair_with_gradicp_odometry():
     assert np.all(np.isfinite(np.asarray(gmap.points)))
 
 
+@pytest.mark.slow
 def test_fused_update_matches_per_leaf(pair):
     """OPTIMIZATION.fused_update: flattened-vector Adam produces the same
     parameters as the per-leaf optimizer."""

@@ -42,6 +42,7 @@ def test_monodepth_decoder_scales():
         assert v.min() >= 0.0 and v.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_resnet50_channels():
     from e2eslam_tpu.models.resnet import ResnetEncoder, encoder_channels
 

@@ -16,6 +16,7 @@ N = 4
 
 
 @pytest.mark.skipif(len(jax.devices()) < N, reason="needs multi-device mesh")
+@pytest.mark.slow
 def test_parallel_refinement_independent_sequences():
     cfg = load_yaml(default_config_path())
     cfg.DATA.height, cfg.DATA.width = H, W
@@ -89,6 +90,7 @@ class _ArrayDataset:
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+@pytest.mark.slow
 def test_parallel_adaptation_matches_single_runs():
     """End-to-end multi-sequence ParallelAdaptation == N separate
     single-device OnlineAdaptation runs (VERDICT r1 item 7), with DISTINCT

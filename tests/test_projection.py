@@ -121,6 +121,7 @@ def test_grid_sample_gradients_finite():
     assert float(jnp.max(jnp.abs(g))) > 0
 
 
+@pytest.mark.slow
 def test_projection_gradient_finite_at_camera_plane():
     """Regression: a point exactly on the source camera plane must not
     poison gradients (0 * inf = NaN through the perspective divide)."""

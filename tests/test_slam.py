@@ -141,6 +141,7 @@ def test_gradicp_recovers_pose():
     assert Rerr < 0.02, Rerr
 
 
+@pytest.mark.slow
 def test_fusion_is_differentiable_wrt_depth(seq):
     colors, depths, K, poses, _ = seq
 
@@ -234,6 +235,7 @@ def test_projective_nn_window_returns_global_indices(seq):
     assert np.asarray(idx_win)[np.asarray(found_win)].min() >= n - 1024
 
 
+@pytest.mark.slow
 def test_detach_poses_rollout(seq):
     """detach_poses severs gradients through the pose chain (reference
     custom_slam pose-detach discipline) while geometry gradients remain."""
@@ -421,3 +423,26 @@ def test_slow_level2_dedups_late_revisit(seq):
 
     c_fast, c_slow = run(1), run(10)
     assert c_slow < c_fast, (c_fast, c_slow)
+
+
+def test_index_search_radius_reduces_duplicates(seq):
+    """index_search_radius=1: the 3x3 neighborhood probe recovers matches
+    lost to projection rounding / winner overwrites, so sequential fusion
+    appends fewer duplicate surfels at unchanged first-frame behavior."""
+    from e2eslam_tpu.slam.fusion import pointfusion_step_index
+
+    def run(radius):
+        m = empty_map(6 * H * W, index_hw=H * W)
+        for i in range(4):
+            m = pointfusion_step_index(m, _frame(seq, i),
+                                       search_radius=radius)
+        return int(m.count)
+
+    c0, c1 = run(0), run(1)
+    assert c1 < c0, (c0, c1)
+    # first frame unaffected (empty index -> all appends either way)
+    m0 = pointfusion_step_index(empty_map(2 * H * W, index_hw=H * W),
+                                _frame(seq, 0), search_radius=1)
+    m0b = pointfusion_step_index(empty_map(2 * H * W, index_hw=H * W),
+                                 _frame(seq, 0))
+    assert int(m0.count) == int(m0b.count)
