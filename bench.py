@@ -72,6 +72,14 @@ def run_bench():
     # (abs_rel 0.112 bf16 vs 0.115 f32) and slightly faster; losses and
     # geometry stay f32 (the model casts outputs back, models/depth_net.py).
     cfg.SETTINGS.compute_dtype = "bfloat16"
+    # Round-3 map hygiene (BASELINE.md maphygiene table): 3x3 neighborhood
+    # fusion search + two-level dedup with the 3D loss pinned to the FRESH
+    # index level — abs_rel 0.0771 -> 0.0765 with ~1-2% fewer map points
+    # and unchanged steps/s (the round-2 two-level quality regression is
+    # gone once association is decoupled from fusion dedup).
+    cfg.MODEL.index_search_radius = 1
+    cfg.MODEL.index_levels = 2
+    cfg.LOSS.index_assoc_levels = 1
     # Micro-optimizations (measured, semantics-preserving): one fused Adam
     # update over the flattened param vector (81 per-layer op fusions ->
     # a handful) and a stride-4 subsampled online median (a median is a

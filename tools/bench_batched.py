@@ -137,6 +137,10 @@ def main():
     cfg.SETTINGS.compute_dtype = "bfloat16"
     cfg.OPTIMIZATION.fused_update = True
     cfg.ABLATION.median_stride = 4
+    # Round-3 adopted flagship map-hygiene knobs (bench.py).
+    cfg.MODEL.index_search_radius = 1
+    cfg.MODEL.index_levels = 2
+    cfg.LOSS.index_assoc_levels = 1
 
     results = []
     for b in args.b:
