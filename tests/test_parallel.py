@@ -177,3 +177,62 @@ def test_parallel_adaptation_matches_single_runs():
     )
     a, b = out2["per_sequence"]
     assert a["per_pair_abs_rel"] == b["per_pair_abs_rel"]
+
+
+@pytest.mark.slow
+def test_batched_nseq_on_single_device_mesh():
+    """n_seq > mesh size: sequences batch within a device (single-chip
+    multi-sequence throughput mode). Results must match per-sequence
+    independent runs the same way the mesh-parallel path does."""
+    from e2eslam_tpu.parallel.adaptation import ParallelAdaptation
+
+    cfg = load_yaml(default_config_path())
+    cfg.DATA.name = "synthetic"
+    cfg.DATA.height, cfg.DATA.width = H, W
+    cfg.DEMO.sequence_length = 5
+    cfg.DEMO.frame_threshold = 0.01
+    cfg.OPTIMIZATION.refinement_steps = 2
+    cfg.LOSS.three3d_loss = True
+    cfg.DEBUG.print_metrics = False
+
+    L = int(cfg.DEMO.sequence_length)
+    ds = SyntheticDataset(seqlen=L, height=H, width=W, dilation=0, stride=2,
+                          total_frames=3 * L + 4)
+    items = [ds[i] for i in range(3)]
+    # 3 distinct sequences + 1 frozen-tail variant -> ragged schedules
+    c3, d3, p3 = (items[2][0] / 255.0).copy(), items[2][1].copy(), items[2][3].copy()
+    c3[2:], d3[2:], p3[2:] = c3[1], d3[1], p3[1]
+    colors = np.stack([items[0][0] / 255.0, items[1][0] / 255.0,
+                       items[2][0] / 255.0, c3]).astype(np.float32)
+    depths = np.stack([items[0][1], items[1][1], items[2][1], d3])
+    Ks = np.stack([items[0][2]] * 4)
+    poses = np.stack([items[0][3], items[1][3], items[2][3], p3])
+
+    from e2eslam_tpu.models.depth_net import init_depth_model, make_depth_model
+    from e2eslam_tpu.parallel.mesh import make_mesh
+
+    model = make_depth_model(cfg)
+    params, stats = init_depth_model(model, jax.random.key(0), H, W)
+    mesh = make_mesh(1)
+    capacity = L * H * W
+    cfg.MODEL.map_capacity = capacity
+    par = ParallelAdaptation(cfg, model, map_capacity=capacity, mesh=mesh,
+                             n_seq=4)
+    assert par.n == 4
+    out = par.run(
+        par.init_state(params, stats, (2, H, W)),
+        (colors, depths, Ks, poses),
+        threshold=float(cfg.DEMO.frame_threshold),
+    )
+    counts = [r["num_keyframes"] for r in out["per_sequence"]]
+    assert len(counts) == 4
+    assert counts[3] < counts[2], counts  # ragged: frozen tail ends early
+    assert all(np.isfinite(r["mean_abs_rel"]) for r in out["per_sequence"])
+    # distinct sequences adapt to distinct results
+    a = [round(r["mean_abs_rel"], 6) for r in out["per_sequence"][:3]]
+    assert len(set(a)) == 3, a
+
+    # mesh-size mismatch guard (n_seq=3 on a 2-device mesh)
+    with pytest.raises(ValueError, match="multiple"):
+        ParallelAdaptation(cfg, model, map_capacity=capacity,
+                           mesh=make_mesh(2), n_seq=3)
