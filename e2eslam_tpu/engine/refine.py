@@ -583,7 +583,12 @@ class RefinementEngine:
                     ) * msk
                     d_ab = jnp.sum(d_ab) / jnp.maximum(jnp.sum(msk), 1.0)
 
-                    pts_safe = jnp.where(msk[:, None] > 0, pts, 1e6)
+                    # Sentinel for invalid pixels: far outside any scene
+                    # (coords <= ~100 after the far-depth clamp) yet small
+                    # enough not to blow up the KNN kernel's f32 score
+                    # scale or its bbox pruning bounds (1e6 made every
+                    # frame tile's bbox gigantic, disabling b->a pruning).
+                    pts_safe = jnp.where(msk[:, None] > 0, pts, 1e4)
                     # nq=map_count: the map buffer is fixed-capacity; the
                     # kernel skips query tiles beyond the valid prefix, so
                     # this direction costs O(actual map size), not capacity.
