@@ -56,6 +56,16 @@ class Demo(OnlineAdaptation):
         self.snapshots = []
         result = super().run(verbose=verbose)
         result["snapshots"] = self.snapshots
+        # Optional end-of-run map compaction (MODEL.compact_voxel): merge
+        # the duplicate surfels the index fusion's merge gate left behind
+        # (slam/compact.py) before export — scatter-fusion-level densities
+        # at one O(capacity) pass.
+        cv = self.config.MODEL.get("compact_voxel")
+        if cv:
+            from e2eslam_tpu.slam.compact import compact_map
+
+            result["map"] = compact_map(result["map"], voxel=float(cv))
+            result["map_points"] = int(result["map"].count)
         return result
 
     def export_snapshots(self, out_dir: str, max_points: int = 50000):

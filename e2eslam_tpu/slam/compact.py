@@ -1,0 +1,101 @@
+"""On-device map compaction: hash-bucket merge of co-located surfels.
+
+The index-image fusion path appends a duplicate surfel whenever per-frame
+depth noise pushes the same surface outside the merge gate (BASELINE.md
+round-3 map-hygiene analysis). This pass recovers scatter-fusion-level
+map densities in ONE shot: bucket every valid point by voxel hash, elect a
+winner per occupied voxel (scatter-min), merge all co-located surfels into
+their winner confidence-weighted (segment-sum via scatter-add), and pack
+the survivors to the buffer prefix.
+
+Cost: a handful of O(capacity)-row scatters (~0.3 s for a 4M-point map on
+v5e) — run it at END of a sequence (map export, demo snapshots) or every K
+keyframes on the host-loop path, NOT inside the per-step program.
+
+NOTE: compaction MOVES rows, so any cached index images become invalid;
+the returned MapState clears them (next fusion re-seeds via appends).
+Fully jit-compatible (static shapes; count is a traced scalar).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from e2eslam_tpu.slam.pointclouds import ROW, MapState
+
+Array = jax.Array
+
+
+def _voxel_hash(points: Array, voxel: float, table_size: int) -> Array:
+    """Spatial hash of voxel coords (same mixing as ops/voxel_knn)."""
+    v = jnp.floor(points / voxel).astype(jnp.int32)
+    h = (
+        v[:, 0] * jnp.int32(73856093)
+        ^ v[:, 1] * jnp.int32(19349663)
+        ^ v[:, 2] * jnp.int32(83492791)
+    )
+    return (h & (table_size - 1)).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("voxel", "table_pow"))
+def compact_map(m: MapState, *, voxel: float = 0.02,
+                table_pow: int = 22) -> MapState:
+    """Merge surfels closer than ~``voxel`` and pack survivors to the prefix.
+
+    Returns a MapState with the same capacity, reduced ``count``, and
+    cleared index caches. Hash collisions can merge unrelated distant
+    surfels with probability ~n_voxels/2^table_pow — negligible at the
+    default table size.
+    """
+    N = m.data.shape[0]
+    T = 1 << table_pow
+    valid = jnp.arange(N, dtype=jnp.int32) < m.count
+
+    key = _voxel_hash(m.points, float(voxel), T)
+    key = jnp.where(valid, key, T)  # invalid rows -> dropped bucket
+
+    # Elect one winner row per occupied voxel (lowest row index).
+    table = jnp.full((T + 1,), N, jnp.int32)
+    table = table.at[key].min(jnp.arange(N, dtype=jnp.int32), mode="drop")
+    winner = table[jnp.clip(key, 0, T)]  # [N] winner row for each row
+    is_winner = valid & (winner == jnp.arange(N, dtype=jnp.int32))
+
+    # Confidence-weighted merge of every row into its winner's slot.
+    w = jnp.where(valid, m.confidence, 0.0)
+    fields = m.data[:, :9] * w[:, None]  # points, normals, colors
+    acc = jnp.zeros((N, 9), m.data.dtype).at[winner].add(fields, mode="drop")
+    wsum = jnp.zeros((N,), m.data.dtype).at[winner].add(w, mode="drop")
+    safe = jnp.maximum(wsum, 1e-12)[:, None]
+    merged = acc / safe
+    nrm = merged[:, 3:6]
+    n2 = jnp.sum(nrm * nrm, axis=-1, keepdims=True)
+    nrm = jnp.where(n2 > 1e-24, nrm / jnp.sqrt(jnp.where(n2 > 1e-24, n2, 1.0)),
+                    nrm)
+    merged = jnp.concatenate(
+        [merged[:, 0:3], nrm, merged[:, 6:9], wsum[:, None],
+         jnp.zeros((N, ROW - 10), m.data.dtype)], axis=-1
+    )
+
+    # Pack winners to the prefix.
+    pos = jnp.cumsum(is_winner.astype(jnp.int32)) - 1
+    dest = jnp.where(is_winner, pos, N)
+    data = jnp.zeros_like(m.data).at[dest].set(merged, mode="drop")
+    count = jnp.sum(is_winner.astype(jnp.int32))
+
+    return MapState(
+        data=data,
+        count=count,
+        index_image=(
+            None if m.index_image is None else jnp.full_like(m.index_image, -1)
+        ),
+        index_pose=m.index_pose,
+        index_image2=(
+            None if m.index_image2 is None
+            else jnp.full_like(m.index_image2, -1)
+        ),
+        index_pose2=m.index_pose2,
+        kf_counter=m.kf_counter,
+    )

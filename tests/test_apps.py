@@ -334,9 +334,14 @@ def test_demo_snapshots(tmp_path):
     from e2eslam_tpu.apps.demo import Demo
 
     cfg = tiny_config()
+    # End-of-run compaction (MODEL.compact_voxel): exported map merges
+    # co-located surfels (slam/compact.py) — count must shrink.
+    cfg.MODEL.compact_voxel = 0.03
     demo = Demo(cfg)
     result = demo.run(verbose=False)
     assert len(result["snapshots"]) == result["num_keyframes"]
+    raw_count = int(result["snapshots"][-1].count)
+    assert 0 < result["map_points"] < raw_count
     paths = demo.export_snapshots(str(tmp_path), max_points=500)
     assert len(paths) == result["num_keyframes"]
     import os

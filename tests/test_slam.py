@@ -446,3 +446,39 @@ def test_index_search_radius_reduces_duplicates(seq):
     m0b = pointfusion_step_index(empty_map(2 * H * W, index_hw=H * W),
                                  _frame(seq, 0))
     assert int(m0.count) == int(m0b.count)
+
+
+def test_compact_map_merges_colocated(seq):
+    """compact_map: co-located surfels merge confidence-weighted, the
+    buffer packs to a prefix, and distinct geometry is preserved."""
+    from e2eslam_tpu.slam.compact import compact_map
+    from e2eslam_tpu.slam.fusion import pointfusion_step_index
+
+    f0, f1 = _frame(seq, 0), _frame(seq, 1)
+    m = empty_map(4 * H * W, index_hw=H * W)
+    # Force duplicates: fuse f1 twice with a tiny gate so overlaps append.
+    from e2eslam_tpu.slam.fusion import pointfusion_step
+    m = pointfusion_step(m, f0, dist_th=1e-6)
+    m = pointfusion_step(m, f1, dist_th=1e-6)
+    c_before = int(m.count)
+
+    c = compact_map(m, voxel=0.03)
+    c_after = int(c.count)
+    assert 0 < c_after < c_before
+    pts = np.asarray(c.points[:c_after])
+    assert np.isfinite(pts).all()
+    # merged normals stay unit-ish
+    nrm = np.asarray(c.normals[:c_after])
+    ln = np.linalg.norm(nrm, axis=-1)
+    assert np.all(ln < 1.01) and np.median(ln) > 0.9
+    # packed prefix: everything past count is zero
+    assert float(np.abs(np.asarray(c.data[c_after:])).max()) == 0.0
+    # confidences accumulate (merged weight >= original single weights)
+    assert float(np.asarray(c.confidence[:c_after]).max()) > float(
+        np.asarray(m.confidence[:c_before]).max()
+    ) * 0.99
+    # geometry preserved: every compacted point is near some original point
+    orig = np.asarray(m.points[:c_before])
+    sub = pts[:: max(1, len(pts) // 256)]
+    d = np.sqrt(((sub[:, None, :] - orig[None, :: 7, :]) ** 2).sum(-1)).min(1)
+    assert np.median(d) < 0.05
