@@ -54,18 +54,11 @@ class Demo(OnlineAdaptation):
 
     def run(self, *, verbose=None):
         self.snapshots = []
+        # MODEL.compact_voxel (end-of-run map compaction before export) is
+        # handled by the engine run itself — result["map"] arrives
+        # compacted, result["map_points_compacted"] carries the new count.
         result = super().run(verbose=verbose)
         result["snapshots"] = self.snapshots
-        # Optional end-of-run map compaction (MODEL.compact_voxel): merge
-        # the duplicate surfels the index fusion's merge gate left behind
-        # (slam/compact.py) before export — scatter-fusion-level densities
-        # at one O(capacity) pass.
-        cv = self.config.MODEL.get("compact_voxel")
-        if cv:
-            from e2eslam_tpu.slam.compact import compact_map
-
-            result["map"] = compact_map(result["map"], voxel=float(cv))
-            result["map_points"] = int(result["map"].count)
         return result
 
     def export_snapshots(self, out_dir: str, max_points: int = 50000):

@@ -323,6 +323,18 @@ class OnlineAdaptation:
             rpe = relative_pose_error(gt_kf_poses, est_poses_np)
         else:
             ate, rpe = float("nan"), float("nan")
+        # Optional end-of-run map compaction (MODEL.compact_voxel,
+        # slam/compact.py): reported separately — map_points stays the raw
+        # working-map size the adaptation actually ran with.
+        compacted_points = None
+        if cfg.MODEL.get("compact_voxel"):
+            from e2eslam_tpu.slam.compact import compact_map
+
+            global_map = compact_map(
+                global_map, voxel=float(cfg.MODEL.compact_voxel)
+            )
+            compacted_points = int(jax.device_get(global_map.count))
+
         result = {
             "map": global_map,
             "state": state,
@@ -340,6 +352,8 @@ class OnlineAdaptation:
             "ate": ate,
             "rpe": rpe,
         }
+        if compacted_points is not None:
+            result["map_points_compacted"] = compacted_points
         if verbose:
             print(
                 f"keyframes {len(keyframes)} mean abs_rel {result['mean_abs_rel']:.5f} "

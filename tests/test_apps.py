@@ -341,7 +341,8 @@ def test_demo_snapshots(tmp_path):
     result = demo.run(verbose=False)
     assert len(result["snapshots"]) == result["num_keyframes"]
     raw_count = int(result["snapshots"][-1].count)
-    assert 0 < result["map_points"] < raw_count
+    assert 0 < result["map_points_compacted"] < raw_count
+    assert int(result["map"].count) == result["map_points_compacted"]
     paths = demo.export_snapshots(str(tmp_path), max_points=500)
     assert len(paths) == result["num_keyframes"]
     import os
