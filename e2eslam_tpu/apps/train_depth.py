@@ -89,6 +89,17 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
         want_hists = bool(
             config.VIZ.get("tensorboard") or config.VIZ.get("log_gradients")
         ) and logger is not None
+        # Activation-gradient image grids work standalone: VIZ.grad_images
+        # (or VIZ.tensorboard) routes the last step through the
+        # grads-returning program even without a scalar logger, as long as
+        # there is somewhere to write the rendered grids.
+        grad_out_dir = config.DEBUG.get("plot_path") or (
+            f"{config.SETTINGS.log_path}/{config.SETTINGS.name}_grads"
+            if config.SETTINGS.get("log_path") else None
+        )
+        want_grad_images = bool(
+            config.VIZ.get("grad_images") or config.VIZ.get("tensorboard")
+        ) and grad_out_dir is not None
         grads = None
         plot_every = bool(config.DEBUG.get("plot")) and config.DEBUG.get(
             "plot_path"
@@ -97,7 +108,7 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
         grad_images = None
         for rs in range(R):
             rng, sub = jax.random.split(rng)
-            if want_hists and rs == R - 1:
+            if (want_hists or want_grad_images) and rs == R - 1:
                 # Last step through the grads-returning program: feeds the
                 # per-layer gradient histograms + activation-gradient image
                 # grids (reference hook_fn, train_depth.py:865-917).
@@ -107,8 +118,13 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
             else:
                 state, metrics = engine.refine_step(state, pair, gt_map, sub)
             global_step += 1
+            # ONE host fetch per step shared by every observability consumer.
+            need_host = (
+                (verbose and config.DEBUG.get("print_metrics"))
+                or plot_every or logger is not None
+            )
+            m = dict(jax.device_get(metrics)) if need_host else None
             if verbose and config.DEBUG.get("print_metrics"):
-                m = jax.device_get(metrics)
                 print(
                     f"iter {it} refine_step {rs} loss {float(m['total_loss']):.5f} "
                     f"abs_rel {float(m['abs_rel']):.5f} a1 {float(m['a1']):.5f}"
@@ -133,15 +149,12 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
                             f"{config.DEBUG.plot_path}/iter{it:04d}_step{rs}_sF{s}.png",
                             tgt[s],
                         )
-                if rs % plot_interval == 0:
-                    m = jax.device_get(metrics)
-                    if "debug_images" in m:
-                        dump_debug_images(
-                            m["debug_images"], config.DEBUG.plot_path,
-                            f"iter{it:04d}_step{rs}",
-                        )
+                if rs % plot_interval == 0 and "debug_images" in m:
+                    dump_debug_images(
+                        m["debug_images"], config.DEBUG.plot_path,
+                        f"iter{it:04d}_step{rs}",
+                    )
             if logger is not None:
-                m = dict(jax.device_get(metrics))
                 grad_norms = m.pop("grad_norms", None)
                 grad_images = m.pop("grad_images", grad_images)
                 m.pop("debug_images", None)
@@ -170,7 +183,7 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
 
                 hists = gradient_histograms(grads)
                 write_histograms(hists, logger, step=global_step)
-            if grad_images is not None:
+            if grad_images is not None and grad_out_dir is not None:
                 # Designated-layer activation-gradient image grid with the
                 # reference's VIZ.tensorboard_scaled min+max scaling
                 # (train_depth.py:865-917); all-tap grad histograms go to the
@@ -180,11 +193,8 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
                     gradient_histograms, write_histograms,
                 )
 
-                out_dir = config.DEBUG.get("plot_path") or (
-                    f"{config.SETTINGS.log_path}/{config.SETTINGS.name}_grads"
-                )
                 dump_gradient_images(
-                    grad_images, out_dir, f"iter{it:04d}",
+                    grad_images, grad_out_dir, f"iter{it:04d}",
                     layer=str(
                         config.VIZ.get("grad_image_layer") or "upconv_0_1"
                     ),

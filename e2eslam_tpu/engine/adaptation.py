@@ -324,9 +324,11 @@ class OnlineAdaptation:
         else:
             ate, rpe = float("nan"), float("nan")
         # Optional end-of-run map compaction (MODEL.compact_voxel,
-        # slam/compact.py): reported separately — map_points stays the raw
-        # working-map size the adaptation actually ran with.
+        # slam/compact.py): reported separately — map_points stays the RAW
+        # working-map size the adaptation actually ran with (captured here,
+        # before the compacted map replaces it in the result).
         compacted_points = None
+        raw_map_points = int(jax.device_get(global_map.count))
         if cfg.MODEL.get("compact_voxel"):
             from e2eslam_tpu.slam.compact import compact_map
 
@@ -345,7 +347,7 @@ class OnlineAdaptation:
             "refine_steps": total_refine_steps,
             "elapsed_s": elapsed,
             "steps_per_sec": total_refine_steps / elapsed if elapsed > 0 else 0.0,
-            "map_points": int(jax.device_get(global_map.count)),
+            "map_points": raw_map_points,
             "est_poses": est_poses_np,
             "gt_kf_poses": gt_kf_poses,
             "intrinsics": np.asarray(jax.device_get(K)),

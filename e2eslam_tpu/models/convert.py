@@ -254,9 +254,15 @@ def load_depth_weights(config, params, batch_stats):
                 params, batch_stats,
             )
         else:
+            # Precedence: an EXPLICIT MODEL.models_to_load wins (it is only
+            # ever set deliberately), then the reference's documented
+            # MODEL.pretrained_models_list (train_depth.py:815-817 — the
+            # shipped config's [depth_encoder, depth_decoder] matches the
+            # reference's own monodepth2 training dumps), then the
+            # monodepth2-release file names.
             names = tuple(
-                M.get("pretrained_models_list")
-                or M.get("models_to_load")
+                M.get("models_to_load")
+                or M.get("pretrained_models_list")
                 or ("encoder", "depth")
             )
             params, batch_stats = load_monodepth2_modules(

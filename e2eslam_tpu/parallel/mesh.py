@@ -58,10 +58,11 @@ class ParallelRefinement:
                  mesh: Optional[Mesh] = None, n_seq: Optional[int] = None):
         self.mesh = mesh if mesh is not None else make_mesh()
         mesh_size = int(np.prod([self.mesh.shape[a] for a in self.mesh.axis_names]))
-        self.n = int(n_seq) if n_seq else mesh_size
-        if self.n % mesh_size != 0:
+        self.n = mesh_size if n_seq is None else int(n_seq)
+        if self.n < 1 or self.n % mesh_size != 0:
             raise ValueError(
-                f"n_seq={self.n} must be a multiple of mesh size {mesh_size}"
+                f"n_seq={self.n} must be a positive multiple of mesh size "
+                f"{mesh_size}"
             )
         self.engine = RefinementEngine(config, model, map_capacity=map_capacity)
         self.map_capacity = map_capacity

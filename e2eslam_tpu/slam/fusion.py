@@ -480,11 +480,7 @@ def pointfusion_step(
     data = data.at[dest].set(live_rows, mode="drop")
     count = jnp.minimum(state.count + jnp.sum(new_mask.astype(jnp.int32)), N)
 
-    return MapState(
-        data=data,
-        count=count,
-        index_image=state.index_image,  # pass-through (index impl maintains)
-        index_pose=state.index_pose,
-        index_image2=state.index_image2,
-        index_pose2=state.index_pose2,
-    )
+    # _replace: index caches and kf_counter pass through untouched (the
+    # index impl maintains them; dropping kf_counter would change the
+    # pytree structure and break scan carries for two-level maps).
+    return state._replace(data=data, count=count)

@@ -42,13 +42,11 @@ def _append_frame(state: MapState, frame: RGBDFrame) -> MapState:
     dest = state.count + order
     dest = jnp.where(new_mask & (dest < N), dest, N)
     rows = pack_rows(live.points, live.normals, live.colors, live.mask)
-    return MapState(
+    # _replace: preserves index caches AND kf_counter (pytree structure
+    # must survive scan carries for two-level maps).
+    return state._replace(
         data=state.data.at[dest].set(rows, mode="drop"),
         count=jnp.minimum(state.count + jnp.sum(new_mask.astype(jnp.int32)), N),
-        index_image=state.index_image,
-        index_pose=state.index_pose,
-        index_image2=state.index_image2,
-        index_pose2=state.index_pose2,
     )
 
 

@@ -49,6 +49,14 @@ def save_error(path: str, error, *, cmap: str = "inferno") -> str:
                     title="photometric error")
 
 
+def _tensorboard_scaled(g: np.ndarray) -> np.ndarray:
+    """The reference's VIZ.tensorboard_scaled normalization, verbatim:
+    divide by (min + max), falling back to 1 when that sum is exactly 0
+    (train_depth.py:871-878)."""
+    s = float(g.min() + g.max())
+    return g / (s if s != 0.0 else 1.0)
+
+
 def save_gradient_image_grid(path: str, grad, *, scaled: bool = False,
                              cmap: str = "coolwarm", max_channels: int = 64,
                              title: Optional[str] = None) -> str:
@@ -74,8 +82,7 @@ def save_gradient_image_grid(path: str, grad, *, scaled: bool = False,
     if g.ndim == 4:
         g = g[0]  # [H, W, C]
     if scaled:
-        s = float(g.min() + g.max())
-        g = g / (s if s != 0.0 else 1.0)
+        g = _tensorboard_scaled(g)
     C = min(g.shape[-1], max_channels)
     cols = int(np.ceil(np.sqrt(C)))
     rows = int(np.ceil(C / cols))
@@ -122,8 +129,7 @@ def dump_gradient_images(grad_images: Dict[str, np.ndarray], out_dir: str,
         # a single-channel image, normalized the same way as the PNG.
         img = g[0]
         if scaled:
-            s = float(img.min() + img.max())
-            img = img / (s if s != 0.0 else 1.0)
+            img = _tensorboard_scaled(img)
         writer.add_images(
             f"Image_Layer_{layer}_{tag}",
             np.transpose(img, (2, 0, 1))[:, None, :, :],

@@ -410,3 +410,22 @@ def test_hard_mode_three3d_improves_quality():
 
     on, off = run(True), run(False)
     assert on < off, (on, off)  # measured: 0.1074 vs 0.1104
+
+
+def test_grad_images_standalone(tmp_path):
+    """VIZ.grad_images alone (no tensorboard, no scalar logger) must still
+    render the designated-layer gradient grid into DEBUG.plot_path
+    (code-review r3 regression)."""
+    import os
+
+    from e2eslam_tpu.apps.train_depth import train
+
+    cfg = tiny_config(**{
+        "OPTIMIZATION.refinement_steps": 1,
+        "DATA.frames": [0, -1],
+    })
+    cfg.VIZ.grad_images = True
+    cfg.DEBUG.plot_path = str(tmp_path / "plots")
+    train(cfg, max_windows=1, verbose=False)
+    plots = os.listdir(tmp_path / "plots")
+    assert any("grad_upconv_0_1" in p for p in plots), plots

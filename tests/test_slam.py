@@ -482,3 +482,21 @@ def test_compact_map_merges_colocated(seq):
     sub = pts[:: max(1, len(pts) // 256)]
     d = np.sqrt(((sub[:, None, :] - orig[None, :: 7, :]) ** 2).sum(-1)).min(1)
     assert np.median(d) < 0.05
+
+
+def test_scatter_paths_preserve_kf_counter(seq):
+    """pointfusion_step and ICPSLAM must pass MapState.kf_counter through
+    untouched (dropping it changes the pytree structure and breaks scan
+    carries on two-level maps)."""
+    from e2eslam_tpu.slam.fusion import pointfusion_step
+    from e2eslam_tpu.slam.slam import ICPSLAM
+
+    m = empty_map(4 * H * W, index_hw=H * W, index_levels=2)
+    assert m.kf_counter is not None
+    m2 = pointfusion_step(m, _frame(seq, 0))
+    assert m2.kf_counter is not None  # preserved, not dropped
+
+    colors, depths, K, poses, _ = seq
+    slam = ICPSLAM(odom="gt", fusion_impl="index", index_levels=2)
+    out, _ = slam(colors[:2], depths[:2], K, poses[:2], capacity=4 * H * W)
+    assert out.kf_counter is not None
