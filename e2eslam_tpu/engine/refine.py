@@ -1013,7 +1013,7 @@ class RefinementEngine:
                 pair.colors[TARGET], depth[TARGET], pair.intrinsics,
                 pair.poses[TARGET],
             )
-            map_state, est_pose = self.slam.step(map_state, live, prev)
+            map_state, est_pose, _ = self.slam.step(map_state, live, prev)
             return map_state, est_pose
 
         return fuse

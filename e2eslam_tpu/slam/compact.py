@@ -29,15 +29,20 @@ from e2eslam_tpu.slam.pointclouds import ROW, MapState
 Array = jax.Array
 
 
-def _voxel_hash(points: Array, voxel: float, table_size: int) -> Array:
-    """Spatial hash of voxel coords (same mixing as ops/voxel_knn)."""
+def _voxel_hash(points: Array, voxel: float, table_size: int):
+    """Spatial hash of voxel coords (same mixing as ops/voxel_knn).
+
+    Returns (hash keys [N], integer voxel coords [N, 3]) — callers must
+    verify voxel-coordinate equality before treating two rows as
+    co-located (hash collisions are NOT rare at multi-M-point scale).
+    """
     v = jnp.floor(points / voxel).astype(jnp.int32)
     h = (
         v[:, 0] * jnp.int32(73856093)
         ^ v[:, 1] * jnp.int32(19349663)
         ^ v[:, 2] * jnp.int32(83492791)
     )
-    return (h & (table_size - 1)).astype(jnp.int32)
+    return (h & (table_size - 1)).astype(jnp.int32), v
 
 
 @functools.partial(jax.jit, static_argnames=("voxel", "table_pow"))
@@ -52,19 +57,28 @@ def compact_map(m: MapState, *, voxel: float = 0.02,
     """
     N = m.data.shape[0]
     T = 1 << table_pow
-    valid = jnp.arange(N, dtype=jnp.int32) < m.count
+    rows = jnp.arange(N, dtype=jnp.int32)
+    valid = rows < m.count
 
-    key = _voxel_hash(m.points, float(voxel), T)
+    key, vox = _voxel_hash(m.points, float(voxel), T)
     key = jnp.where(valid, key, T)  # invalid rows -> dropped bucket
 
-    # Elect one winner row per occupied voxel (lowest row index).
+    # Elect one winner row per occupied BUCKET (lowest row index), then
+    # verify actual voxel-coordinate equality: at multi-M-point scale a
+    # 2^22 table has ~20% per-voxel collision probability, and merging by
+    # hash alone averaged spatially distant surfels into mid-air points
+    # (code-review r3, empirically confirmed). Rows whose voxel differs
+    # from their bucket winner's stay unmerged survivors.
     table = jnp.full((T + 1,), N, jnp.int32)
-    table = table.at[key].min(jnp.arange(N, dtype=jnp.int32), mode="drop")
+    table = table.at[key].min(rows, mode="drop")
     winner = table[jnp.clip(key, 0, T)]  # [N] winner row for each row
-    is_winner = valid & (winner == jnp.arange(N, dtype=jnp.int32))
+    same_voxel = valid & jnp.all(
+        vox == jnp.take(vox, jnp.clip(winner, 0, N - 1), axis=0), axis=-1
+    ) & (winner < N)
+    is_winner = valid & (winner == rows)
 
-    # Confidence-weighted merge of every row into its winner's slot.
-    w = jnp.where(valid, m.confidence, 0.0)
+    # Confidence-weighted merge of every SAME-VOXEL row into its winner.
+    w = jnp.where(same_voxel, m.confidence, 0.0)
     fields = m.data[:, :9] * w[:, None]  # points, normals, colors
     acc = jnp.zeros((N, 9), m.data.dtype).at[winner].add(fields, mode="drop")
     wsum = jnp.zeros((N,), m.data.dtype).at[winner].add(w, mode="drop")
@@ -79,11 +93,16 @@ def compact_map(m: MapState, *, voxel: float = 0.02,
          jnp.zeros((N, ROW - 10), m.data.dtype)], axis=-1
     )
 
-    # Pack winners to the prefix.
-    pos = jnp.cumsum(is_winner.astype(jnp.int32)) - 1
-    dest = jnp.where(is_winner, pos, N)
-    data = jnp.zeros_like(m.data).at[dest].set(merged, mode="drop")
-    count = jnp.sum(is_winner.astype(jnp.int32))
+    # Survivors: voxel winners (merged row) + hash-collision losers that
+    # matched the bucket but not the voxel (original row, untouched).
+    keep = is_winner | (valid & ~same_voxel)
+    out_rows = jnp.where(is_winner[:, None], merged, m.data)
+
+    # Pack survivors to the prefix.
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dest = jnp.where(keep, pos, N)
+    data = jnp.zeros_like(m.data).at[dest].set(out_rows, mode="drop")
+    count = jnp.sum(keep.astype(jnp.int32))
 
     return MapState(
         data=data,

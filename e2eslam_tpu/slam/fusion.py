@@ -117,7 +117,9 @@ def _associate(
     idx_m = jnp.where(is_best, jnp.arange(N, dtype=jnp.int32), jnp.int32(N))
     best_idx = jnp.full((HW,), N, jnp.int32).at[pix].min(idx_m)
     winner = is_best & (jnp.arange(N, dtype=jnp.int32) == jnp.take(best_idx, pix))
-    return pix, dist, best_idx, winner
+    # v_live rides along: pointfusion_step needs the same gather and row
+    # gathers are the profiled cost unit (~17 ns/row) — don't pay it twice.
+    return pix, dist, best_idx, winner, v_live
 
 
 def _window_view(state: MapState, window: int):
@@ -156,7 +158,7 @@ def projective_nn(state: MapState, frame: RGBDFrame, *, active_window=None):
     if active_window is not None and active_window < state.data.shape[0]:
         start, state = _window_view(state, int(active_window))
     live = frame_pointcloud(frame)
-    _, _, best_idx, _ = _associate(
+    _, _, best_idx, _, _ = _associate(
         state, frame, live, dist_th=jnp.inf, angle_th=None
     )
     N = state.data.shape[0]
@@ -435,10 +437,9 @@ def pointfusion_step(
     live = frame_pointcloud(frame)
     alpha = _pixel_alpha(H, W, K, sigma) * live.mask  # [HW]
 
-    pix, dist, best_idx, winner = _associate(
+    pix, dist, best_idx, winner, v_live = _associate(
         sub, frame, live, dist_th=dist_th, angle_th=angle_th
     )
-    v_live = jnp.take(live.points, pix, axis=0)
     n_live = jnp.take(live.normals, pix, axis=0)
 
     # ---- 4. confidence-weighted in-place fusion of winners --------------

@@ -49,8 +49,15 @@ def normal_map(vertices: Array) -> Array:
     undefined. Matches gradslam's vertex-map-difference normals in spirit;
     edge rows/cols replicate their neighbor.
     """
-    dx = jnp.diff(vertices, axis=1, append=vertices[:, -1:, :])
-    dy = jnp.diff(vertices, axis=0, append=vertices[-1:, :, :])
+    # Edge rows/cols REPLICATE the previous difference (as documented):
+    # `append=vertices[-1:]` would make the last-row/col difference exactly
+    # zero -> zero normals there -> those pixels can never pass the fusion
+    # angle gate and append H+W-1 unmergeable duplicates EVERY keyframe
+    # (code-review r3, empirically confirmed).
+    dx = jnp.diff(vertices, axis=1)
+    dx = jnp.concatenate([dx, dx[:, -1:, :]], axis=1)
+    dy = jnp.diff(vertices, axis=0)
+    dy = jnp.concatenate([dy, dy[-1:, :, :]], axis=0)
     n = jnp.cross(dx, dy)
     # NaN-safe normalization (double-where): sqrt's derivative at 0 is inf,
     # and 0-cotangent * inf = NaN would poison gradients flowing through

@@ -112,14 +112,21 @@ class PointFusion:
         state: MapState,
         live_frame: RGBDFrame,
         prev_frame: Optional[RGBDFrame] = None,
-    ) -> Tuple[MapState, Array]:
-        """Localize the live frame (unless prev is None) and fuse it."""
+    ):
+        """Localize the live frame (unless prev is None) and fuse it.
+
+        Returns (map, pose, frame) where ``frame`` is the frame actually
+        fused — rebuilt with the ESTIMATED pose for non-gt odometry, so its
+        world-frame vertices/normals are consistent with its pose (carrying
+        a gt-pose geometry with an estimated pose silently hands stale
+        world coordinates to any consumer of prev.vertices).
+        """
         pose = self._localize(live_frame, prev_frame)
         if self.odom != "gt" and prev_frame is not None:
             live_frame = build_frame(
                 live_frame.color, live_frame.depth, live_frame.intrinsics, pose
             )
-        return self._update_map(state, live_frame), pose
+        return self._update_map(state, live_frame), pose, live_frame
 
     def __call__(
         self,
@@ -154,10 +161,14 @@ class PointFusion:
             state, prev = carry
             color, depth, gt_pose = inputs
             live = build_frame(color, depth, intrinsics, gt_pose)
-            state, pose = self.step(state, live, prev)
-            carry_pose = jax.lax.stop_gradient(pose) if detach_poses else pose
-            live = live._replace(pose=carry_pose)
-            return (state, live), pose
+            state, pose, fused = self.step(state, live, prev)
+            # Carry the frame actually fused (estimated-pose geometry);
+            # detach_poses only severs gradients through the pose chain.
+            if detach_poses:
+                fused = fused._replace(
+                    pose=jax.lax.stop_gradient(fused.pose)
+                )
+            return (state, fused), pose
 
         (state, _), est_poses = jax.lax.scan(
             scan_body, (state, frame0), (colors[1:], depths[1:], poses[1:])
