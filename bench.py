@@ -61,13 +61,17 @@ def run_bench():
     cfg.MODEL.fusion_impl = "index"
     cfg.LOSS.knn_impl = "index"
     cfg.LOSS.three3d_query_stride = 1
-    # Quality knobs (BASELINE.md ablation, all honest — no GT enters the
-    # loss): distance-gated + confidence-weighted matches at weight 0.1
-    # score abs_rel 0.080 vs 0.111 at the reference weight 1.0 (both with
-    # the E2E 3D loss live; reference semantics = gate/conf off, weight 1.0).
-    cfg.LOSS.three3d_dist_gate = 0.15
+    # Round-3 finding (BASELINE.md "world-aligned 3D loss"): the reference
+    # transforms the WORLD-frame target cloud by the inter-keyframe
+    # transform before the KNN (online_adaption.py:642) — a quirk that
+    # bakes a rigid baseline offset into every matched residual; round 2's
+    # gate/low-weight knobs were mostly damping that bias. With
+    # three3d_align: world (no shift — true map-consistency residuals) the
+    # loss runs at FULL reference weight 1.0 with no distance gate and
+    # IMPROVES quality on both the easy and hard benchmarks.
+    cfg.LOSS.three3d_align = "world"
     cfg.LOSS.three3d_conf_weight = True
-    cfg.LOSS.three3d_loss_weight = 0.1
+    cfg.LOSS.three3d_loss_weight = 1.0
     # bf16 CNN compute: measured quality-neutral on this workload
     # (abs_rel 0.112 bf16 vs 0.115 f32) and slightly faster; losses and
     # geometry stay f32 (the model casts outputs back, models/depth_net.py).

@@ -409,9 +409,24 @@ class RefinementEngine:
             stride = int(L.get("three3d_query_stride", 1))
             pts = live.points[::stride]
             msk = live.mask[::stride]
-            # reference compute_3d_loss: transform the target cloud by the
-            # target->source transform, then KNN against the DETACHED map.
-            T_rel = _mm(se3_inverse(pair.poses[0]), pair.poses[TARGET])
+            # LOSS.three3d_align:
+            #   "relative" (default, reference parity): transform the
+            #     WORLD-frame target cloud by the target->source transform
+            #     before comparing against the WORLD-frame map — the
+            #     reference's own quirk (online_adaption.py:642 transforms
+            #     a cloud lifted with the target's OWN pose,
+            #     process_inputs:408-409), which bakes a rigid
+            #     inter-keyframe-baseline offset into every matched
+            #     residual.
+            #   "world": no shift — both clouds stay world-frame, the loss
+            #     measures actual map consistency (TPU-first quality
+            #     option; the round-2 dist-gate/low-weight knobs were
+            #     measured to help largely because they damp the baseline
+            #     bias this shift injects).
+            if str(L.get("three3d_align", "relative")) == "relative":
+                T_rel = _mm(se3_inverse(pair.poses[0]), pair.poses[TARGET])
+            else:
+                T_rel = jnp.eye(4, dtype=pair.poses.dtype)
             pts = transform_points(T_rel, pts)
             # Optional map subsampling (perf knob; stride 1 = exact reference
             # semantics). The buffer is prefix-packed, so a strided view stays

@@ -399,9 +399,9 @@ def test_hard_mode_three3d_improves_quality():
         cfg.MODEL.fusion_impl = "index"
         cfg.LOSS.knn_impl = "index"
         cfg.LOSS.three3d_query_stride = 1
-        cfg.LOSS.three3d_dist_gate = 0.15
+        cfg.LOSS.three3d_align = "world"  # round-3 flagship
         cfg.LOSS.three3d_conf_weight = True
-        cfg.LOSS.three3d_loss_weight = 0.1
+        cfg.LOSS.three3d_loss_weight = 1.0
         cfg.OPTIMIZATION.fused_update = True
         cfg.ABLATION.median_stride = 4
         cfg.DATA.textureless_frac = 0.65
@@ -409,7 +409,7 @@ def test_hard_mode_three3d_improves_quality():
         return OnlineAdaptation(cfg).run(verbose=False)["mean_abs_rel"]
 
     on, off = run(True), run(False)
-    assert on < off, (on, off)  # measured: 0.1074 vs 0.1104
+    assert on < off, (on, off)  # measured: 0.0911 vs 0.1104
 
 
 def test_grad_images_standalone(tmp_path):
