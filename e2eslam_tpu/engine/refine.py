@@ -235,13 +235,12 @@ class RefinementEngine:
         if cfg.DATA.get("use_gt_pose", True):
             return _mm(se3_inverse(pair.poses[src]), pair.poses[TARGET])
 
-        from e2eslam_tpu.core.projection import backproject as _bp
         from e2eslam_tpu.slam.odometry import point_to_plane_icp
         from e2eslam_tpu.slam.rgbd import normal_map
 
         K = pair.intrinsics
-        tgt_cam = _bp(depth[TARGET][None], inverse_intrinsics(K)[None])[0]
-        src_cam = _bp(depth[src][None], inverse_intrinsics(K)[None])[0]
+        tgt_cam = backproject(depth[TARGET][None], inverse_intrinsics(K)[None])[0]
+        src_cam = backproject(depth[src][None], inverse_intrinsics(K)[None])[0]
         s = int(self.slam.icp_downsample)
         return point_to_plane_icp(
             tgt_cam[::s, ::s].reshape(-1, 3),
@@ -969,6 +968,15 @@ class RefinementEngine:
             disp, raw_depth = self._forward_depths(params, batch_stats, pair.colors)
             raw_depth = jax.lax.stop_gradient(raw_depth)
             disp = jax.lax.stop_gradient(disp)
+
+            # SCALE mode has no step-0 depth snapshot, so a configured
+            # LOSS.depth_regularizer would silently compare depth to itself
+            # (value 0, gradient 0). Refuse instead of lying.
+            if cfg.LOSS.get("depth_regularizer"):
+                raise ValueError(
+                    "LOSS.depth_regularizer has no effect in SCALE mode "
+                    "(no initial-depth snapshot exists); disable it"
+                )
 
             def loss_fn(sp):
                 depth = self._apply_scaling(
