@@ -88,7 +88,15 @@ def se3_exp(xi: Array) -> Array:
 
 
 def se3_log(T: Array) -> Array:
-    """Logarithm map ``[..., 4, 4] -> [..., 6]`` (v, w). Taylor-safe."""
+    """Logarithm map ``[..., 4, 4] -> [..., 6]`` (v, w).
+
+    Taylor-safe at theta -> 0 AND stable at theta -> pi: the
+    ``theta / (2 sin theta) * (R - R^T)`` form degenerates to 0 * inf as
+    sin(theta) -> 0 with R antisymmetric-part -> 0 (a pi-rotation would
+    silently return w = 0); near pi the axis is instead recovered from the
+    rank-1 matrix ``R + I`` (columns proportional to the rotation axis),
+    with the sign fixed from the antisymmetric part.
+    """
     R = T[..., :3, :3]
     t = T[..., :3, 3]
     trace = jnp.trace(R, axis1=-2, axis2=-1)
@@ -97,10 +105,45 @@ def se3_log(T: Array) -> Array:
     theta2 = theta * theta
 
     small = theta < 1e-4
-    # w_hat = theta / (2 sin(theta)) * (R - R^T)
-    coef = jnp.where(small, 0.5 + theta2 / 12.0, theta / (2.0 * jnp.sin(jnp.where(small, 1.0, theta))))
+    # Generic-branch error ~ f32_eps / sin^2(theta): switch to the axis
+    # branch well before sin(theta) degenerates (both branches agree to
+    # ~1e-6 at the crossover).
+    near_pi = theta > (jnp.pi - 0.05)
+    # w_hat = theta / (2 sin(theta)) * (R - R^T)  (generic branch)
+    safe_sin = jnp.where(small | near_pi, 1.0, jnp.sin(theta))
+    coef = jnp.where(small, 0.5 + theta2 / 12.0, theta / (2.0 * safe_sin))
     W = coef * (R - jnp.swapaxes(R, -1, -2))
-    w = jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
+    w_gen = jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
+
+    # Near-pi branch: the SYMMETRIC part (R + R^T)/2 - cos(theta) I equals
+    # (1 - cos theta) * a a^T exactly (no antisymmetric contamination), so
+    # its largest column is the axis. Sign from the antisymmetric part
+    # (ambiguous at exactly pi — either sign is a valid log).
+    Bp = (
+        0.5 * (R + jnp.swapaxes(R, -1, -2))
+        - cos_theta[..., None, None]
+        * jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), R.shape)
+    )
+    norms = jnp.linalg.norm(Bp, axis=-2)  # [..., 3] column norms
+    col = jnp.argmax(norms, axis=-1)
+    axis = jnp.take_along_axis(Bp, col[..., None, None], axis=-1)[..., 0]
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True),
+                              1e-12)
+    asym = jnp.stack(
+        [R[..., 2, 1] - R[..., 1, 2], R[..., 0, 2] - R[..., 2, 0],
+         R[..., 1, 0] - R[..., 0, 1]], axis=-1)
+    sign = jnp.where(jnp.sum(axis * asym, axis=-1, keepdims=True) < 0.0,
+                     -1.0, 1.0)
+    w_pi = theta[..., 0] * sign * axis
+
+    w = jnp.where(near_pi[..., 0], w_pi, w_gen)
+    # Rebuild W from the selected w so Vinv below stays consistent.
+    zeros = jnp.zeros_like(w[..., 0])
+    W = jnp.stack([
+        jnp.stack([zeros, -w[..., 2], w[..., 1]], axis=-1),
+        jnp.stack([w[..., 2], zeros, -w[..., 0]], axis=-1),
+        jnp.stack([-w[..., 1], w[..., 0], zeros], axis=-1),
+    ], axis=-2)
 
     # V^{-1} = I - W/2 + (1/theta^2)(1 - A/(2B)) W^2
     A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))

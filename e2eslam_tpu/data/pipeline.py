@@ -96,24 +96,40 @@ def prefetch_batches(
     capacity: int = 2,
     device=None,
 ) -> Iterator:
-    """Background-thread batch prefetcher (the DataLoader-workers analogue)."""
+    """Background-thread batch prefetcher (the DataLoader-workers analogue).
+
+    ``num_threads`` decode workers pull batches round-robin; the consumer
+    reassembles them IN ORDER. A worker exception propagates to the
+    consumer (re-raised from the iterator) instead of deadlocking it.
+    """
     if num_threads <= 0:
         for idxs in batch_indices:
             yield load_batch(dataset, idxs, device=device)
         return
 
-    q: "queue.Queue" = queue.Queue(maxsize=capacity)
-    sentinel = object()
+    indexed = list(enumerate(batch_indices))
+    n = len(indexed)
+    q: "queue.Queue" = queue.Queue(maxsize=max(capacity, num_threads))
+    workers = max(1, int(num_threads))
 
-    def worker():
-        for idxs in batch_indices:
-            q.put(load_batch(dataset, idxs, device=device))
-        q.put(sentinel)
+    def worker(shard: int):
+        try:
+            for pos, idxs in indexed[shard::workers]:
+                q.put((pos, load_batch(dataset, idxs, device=device)))
+        except BaseException as exc:  # surfaced in the consumer
+            q.put((None, exc))
 
-    t = threading.Thread(target=worker, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            break
-        yield item
+    for s in range(workers):
+        threading.Thread(target=worker, args=(s,), daemon=True).start()
+
+    # In-order reassembly: buffer out-of-order completions.
+    pending: dict = {}
+    next_pos = 0
+    while next_pos < n:
+        while next_pos not in pending:
+            pos, item = q.get()
+            if pos is None:
+                raise item
+            pending[pos] = item
+        yield pending.pop(next_pos)
+        next_pos += 1

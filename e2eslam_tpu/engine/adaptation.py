@@ -28,9 +28,31 @@ from e2eslam_tpu.slam.pointclouds import empty_map
 
 
 def _camera_centers(poses: np.ndarray) -> np.ndarray:
+    """Reference-parity camera "centers" for keyframe selection.
+
+    The reference computes C = -R^T t (compute_frame_distance,
+    online_adaption.py:186-205) even though its poses — like this repo's —
+    are cam-to-world (for which the true center is just t). Kept verbatim
+    for schedule parity; losses/trajectory.py uses t directly.
+    """
     R = poses[..., :3, :3]
     t = poses[..., :3, 3]
     return -np.einsum("...ij,...i->...j", R, t)
+
+
+def keyframe_schedule(poses: np.ndarray, threshold: float):
+    """Host-side keyframe selection: [(prev, cur), ...] by camera-center
+    distance (reference online_adaption.py:228-238). THE single copy —
+    the sequence fast path, the slow loop, and parallel/adaptation all
+    consume it, keeping schedule semantics bit-identical."""
+    centers = _camera_centers(np.asarray(poses))
+    events = []
+    prev = 0
+    for frame in range(1, len(centers)):
+        if np.linalg.norm(centers[frame] - centers[prev]) > threshold:
+            events.append((prev, frame))
+            prev = frame
+    return events
 
 
 class OnlineAdaptation:
@@ -71,9 +93,6 @@ class OnlineAdaptation:
             verbose = bool(cfg.DEBUG.get("print_metrics", False))
 
         colors, gt_depths, intrinsics, poses, _ = load_batch(self.dataset, [0])
-        # Keyframe selection is host-side control flow — compute it from the
-        # numpy poses BEFORE pinning the sequence to the device.
-        centers = _camera_centers(np.asarray(poses[0]))
         # Pin the WHOLE sequence on device once (HBM-resident sequence buffer,
         # SURVEY §5). Anything less re-pays the host->device tunnel latency
         # (~60-120 ms per dispatch on a remote TPU) on every jitted call —
@@ -131,7 +150,6 @@ class OnlineAdaptation:
         keyframes: List[int] = []
         per_pair_metrics: List[Dict] = []
         est_poses: List = []  # per-keyframe odometry estimates (device arrays)
-        prev = 0
         # Observability: optional jax.profiler trace of the whole adaptation
         # loop (VIZ.profile_dir) and JSONL scalar logging (SETTINGS.log_path).
         profile_dir = cfg.VIZ.get("profile_dir")
@@ -156,13 +174,10 @@ class OnlineAdaptation:
             and refinement_steps > 0
             and getattr(self, "use_sequence_program", True)
         ):
-            prev_idx, cur_idx = [], []
-            prev = 0
-            for frame in range(1, seq_len):
-                if np.linalg.norm(centers[frame] - centers[prev]) > threshold:
-                    prev_idx.append(prev)
-                    cur_idx.append(frame)
-                    prev = frame
+            sched = keyframe_schedule(np.asarray(jax.device_get(poses)),
+                                      threshold)
+            prev_idx = [p for p, _ in sched]
+            cur_idx = [c for _, c in sched]
             keyframes = list(cur_idx)
             if len(keyframes) >= 1:
                 rng, sub = jax.random.split(rng)
@@ -189,9 +204,9 @@ class OnlineAdaptation:
             )
 
         kf_hist: List[int] = [0]  # processed keyframes (frame 0 = first prev)
-        for frame in range(1, seq_len):
-            if np.linalg.norm(centers[frame] - centers[prev]) <= threshold:
-                continue
+        for prev, frame in keyframe_schedule(
+            np.asarray(jax.device_get(poses)), threshold
+        ):
             # Refinement window: the last F_ref keyframes ending at `frame`,
             # oldest first (older-than-history slots repeat the oldest
             # available keyframe). F_ref=2 -> [prev, frame]; F_ref=3 ->
@@ -250,7 +265,6 @@ class OnlineAdaptation:
             keyframes.append(frame)
             per_pair_metrics.append(step_metrics)  # device arrays (async)
             est_poses.append(est_pose)  # device arrays (async)
-            prev = frame
 
         # Single host sync at the end of the sequence.
         per_pair_metrics = jax.device_get(per_pair_metrics)

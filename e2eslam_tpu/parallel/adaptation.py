@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from e2eslam_tpu.engine.adaptation import _camera_centers
+from e2eslam_tpu.engine.adaptation import keyframe_schedule  # noqa: F401
 from e2eslam_tpu.engine.refine import PairBatch, RefineState
 from e2eslam_tpu.parallel.mesh import (
     ParallelRefinement,
@@ -37,19 +37,6 @@ from e2eslam_tpu.parallel.mesh import (
     shard_leading,
 )
 from e2eslam_tpu.slam.pointclouds import MapState
-
-
-def keyframe_schedule(poses: np.ndarray, threshold: float) -> List[tuple]:
-    """Host-side keyframe selection for one sequence: [(prev, cur), ...]
-    (reference ``online_adaption.py:228-238``)."""
-    centers = _camera_centers(np.asarray(poses))
-    events = []
-    prev = 0
-    for frame in range(1, len(centers)):
-        if np.linalg.norm(centers[frame] - centers[prev]) > threshold:
-            events.append((prev, frame))
-            prev = frame
-    return events
 
 
 class ParallelAdaptation:
@@ -172,7 +159,10 @@ class ParallelAdaptation:
         active = np.zeros((N, E), bool)
         for i, sched in enumerate(schedules):
             for e in range(E):
-                p, c = sched[min(e, len(sched) - 1)]
+                # A sequence with ZERO events pads with a (0, 0) self-pair:
+                # the compute runs (and is wasted) but every commit is
+                # masked off by `active`.
+                p, c = sched[min(e, len(sched) - 1)] if sched else (0, 0)
                 prev_idx[i, e], cur_idx[i, e] = p, c
                 active[i, e] = e < len(sched)
 

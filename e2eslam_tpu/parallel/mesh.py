@@ -30,6 +30,11 @@ from e2eslam_tpu.slam.pointclouds import MapState, empty_map
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
+    if n > len(devices):
+        raise ValueError(
+            f"requested a {n}-device mesh but only {len(devices)} "
+            f"device(s) are available"
+        )
     return Mesh(np.asarray(devices[:n]).reshape(n), (axis,))
 
 

@@ -93,3 +93,24 @@ def test_transform_points():
     )
     expected = pts @ T[:3, :3].T + T[:3, 3]
     np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+def test_log_stable_near_pi():
+    """se3_log must stay accurate for rotations near/at pi: the generic
+    theta/(2 sin theta) (R - R^T) form degenerates (a pi-rotation used to
+    return w = 0); the near-pi branch recovers the axis from the symmetric
+    part. Worst-case f32 roundtrip error stays ~2e-4 (0.015 deg)."""
+    rng = np.random.default_rng(3)
+    for mag in [3.0, 3.05, 3.1, 3.14, np.pi - 1e-5, np.pi]:
+        for _ in range(3):
+            ax = rng.normal(size=3)
+            ax /= np.linalg.norm(ax)
+            v = rng.normal(size=3) * 0.3
+            xi = jnp.asarray(np.concatenate([v, mag * ax]), jnp.float32)
+            T = se3_exp(xi)
+            xi2 = se3_log(T)
+            # |w| must be the true angle (the old code returned ~0 at pi)
+            w_mag = float(jnp.linalg.norm(xi2[3:]))
+            assert abs(w_mag - min(mag, np.pi)) < 1e-3, (mag, w_mag)
+            T2 = np.asarray(se3_exp(xi2))
+            assert np.abs(np.asarray(T) - T2).max() < 5e-4, mag
