@@ -143,38 +143,54 @@ class _RGBDDiskDataset:
     def __len__(self):
         return len(self.windows)
 
+    _CACHE_FRAMES = 256  # decoded-frame cache (~4 MB each at 640x480)
+
+    def _decoded_frames(self, idxs):
+        """Decode+resize frames with a bounded FIFO cache: overlapping
+        windows (stride < seqlen, the default) would otherwise re-decode
+        every PNG ~seqlen times."""
+        cache = getattr(self, "_frame_cache", None)
+        if cache is None:
+            cache = self._frame_cache = {}
+        missing = [k for k in idxs if k not in cache]
+        if missing:
+            from e2eslam_tpu.data.native_loader import load_rgbd_batch
+
+            native = load_rgbd_batch(
+                [self.rgb_files[k] for k in missing],
+                [self.depth_files[k] for k in missing],
+                self.height,
+                self.width,
+                depth_scale=self.depth_scale,
+            )
+            if native is not None:
+                for j, k in enumerate(missing):
+                    cache[k] = (native[0][j], native[1][j])
+            else:
+                for k in missing:
+                    c = _load_image(
+                        self.rgb_files[k], self.height, self.width,
+                        nearest=False,
+                    )[..., :3].astype(np.float32)
+                    d = _load_image(
+                        self.depth_files[k], self.height, self.width,
+                        nearest=True,
+                    ).astype(np.float32)[..., None] / self.depth_scale
+                    cache[k] = (c, d)
+            needed = set(idxs)
+            for k in list(cache):
+                if len(cache) <= self._CACHE_FRAMES:
+                    break
+                if k not in needed:
+                    cache.pop(k)
+        return (
+            np.stack([cache[k][0] for k in idxs]),
+            np.stack([cache[k][1] for k in idxs]),
+        )
+
     def __getitem__(self, i: int):
         idxs = self.windows[i]
-        # Fast path: native C++ loader (libpng + thread pool), PIL fallback.
-        from e2eslam_tpu.data.native_loader import load_rgbd_batch
-
-        native = load_rgbd_batch(
-            [self.rgb_files[k] for k in idxs],
-            [self.depth_files[k] for k in idxs],
-            self.height,
-            self.width,
-            depth_scale=self.depth_scale,
-        )
-        if native is not None:
-            colors, depths = native
-        else:
-            colors = np.stack(
-                [
-                    _load_image(
-                        self.rgb_files[k], self.height, self.width, nearest=False
-                    )[..., :3].astype(np.float32)
-                    for k in idxs
-                ]
-            )
-            depths = np.stack(
-                [
-                    _load_image(
-                        self.depth_files[k], self.height, self.width, nearest=True
-                    ).astype(np.float32)[..., None]
-                    / self.depth_scale
-                    for k in idxs
-                ]
-            )
+        colors, depths = self._decoded_frames(idxs)
         poses = self.poses[idxs].astype(np.float32)
         transforms = poses_to_transforms_np(poses)
         K = self.traj_intrinsics[self.window_traj[i]]
