@@ -63,9 +63,14 @@ class ConvBlock(nn.Module):
 
 
 class _UNetDecoder(nn.Module):
-    """Shared U-Net topology of both decoders; heads differ per subclass."""
+    """Shared U-Net topology of both decoders; heads differ per subclass.
 
-    num_ch_enc: Tuple[int, ...] = (64, 64, 128, 256, 512)
+    ``instantiate_scales`` selects which dispconv heads get PARAMETERS
+    (checkpoint-layout parity), ``head_scales`` which actually EMIT an
+    output — the indoor decoder creates all four heads but only scale 0
+    ever runs (reference networks.py:245-246, :289-290).
+    """
+
     scales: Tuple[int, ...] = (0, 1, 2, 3)
     num_output_channels: int = 1
     use_skips: bool = True
@@ -73,6 +78,7 @@ class _UNetDecoder(nn.Module):
 
     # Overridden by subclasses.
     head_scales: Tuple[int, ...] = (0, 1, 2, 3)
+    instantiate_scales: Tuple[int, ...] = (0, 1, 2, 3)
 
     def head(self, x: Array) -> Array:
         raise NotImplementedError
@@ -102,11 +108,12 @@ class _UNetDecoder(nn.Module):
             )(x)
             if taps is not None:
                 x = x + taps[f"upconv_{i}_1"]
-            if i in self.scales and i in self.head_scales:
+            if i in self.scales and i in self.instantiate_scales:
                 logits = Conv3x3(
                     self.num_output_channels, dtype=self.dtype, name=f"dispconv_{i}"
                 )(x)
-                outputs[i] = self.head(logits)
+                if i in self.head_scales:
+                    outputs[i] = self.head(logits)
         return outputs
 
 
@@ -122,9 +129,10 @@ class DepthDecoder(_UNetDecoder):
 class IndoorDepthDecoder(_UNetDecoder):
     """Indoor decoder: ``10 * sigmoid + 0.01`` disparity, emitted at scale 0 only.
 
-    (reference ``networks.py:245-246`` and ``:289-290``). Note the reference
+    (reference ``networks.py:245-246`` and ``:289-290``). The reference
     still CREATES dispconv heads for all four scales (they just never run);
-    we mirror that so converted checkpoints map one-to-one.
+    ``instantiate_scales`` mirrors that so converted checkpoints map
+    one-to-one.
     """
 
     alpha: float = 10.0
@@ -133,35 +141,6 @@ class IndoorDepthDecoder(_UNetDecoder):
 
     def head(self, x: Array) -> Array:
         return self.alpha * nn.sigmoid(x) + self.beta
-
-    @nn.compact
-    def __call__(self, features: Sequence[Array],
-                 taps=None) -> Dict[int, Array]:
-        outputs: Dict[int, Array] = {}
-        x = features[-1]
-        for i in range(4, -1, -1):
-            x = ConvBlock(
-                DECODER_CHANNELS[i], dtype=self.dtype, name=f"upconv_{i}_0"
-            )(x)
-            if taps is not None:
-                x = x + taps[f"upconv_{i}_0"]
-            x = upsample_nearest_2x(x)
-            if self.use_skips and i > 0:
-                x = jnp.concatenate([x, features[i - 1]], axis=-1)
-            x = ConvBlock(
-                DECODER_CHANNELS[i], dtype=self.dtype, name=f"upconv_{i}_1"
-            )(x)
-            if taps is not None:
-                x = x + taps[f"upconv_{i}_1"]
-            if i in self.scales:
-                # Instantiate every head (checkpoint parity) but only scale 0
-                # contributes to the outputs.
-                logits = Conv3x3(
-                    self.num_output_channels, dtype=self.dtype, name=f"dispconv_{i}"
-                )(x)
-                if i == 0:
-                    outputs[i] = self.head(logits)
-        return outputs
 
 
 def decoder_tap_shapes(batch: int, height: int, width: int):

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from e2eslam_tpu.models.decoders import DepthDecoder, IndoorDepthDecoder
-from e2eslam_tpu.models.resnet import ResnetEncoder, encoder_channels
+from e2eslam_tpu.models.resnet import ResnetEncoder
 
 Array = jax.Array
 
@@ -37,7 +37,6 @@ class DispResNetIndoor(nn.Module):
             num_layers=self.num_layers, dtype=self.dtype, name="encoder"
         )(x, train=train)
         return IndoorDepthDecoder(
-            num_ch_enc=tuple(encoder_channels(self.num_layers)),
             dtype=self.dtype,
             name="decoder",
         )(features, taps=taps)
@@ -57,7 +56,6 @@ class MonodepthNet(nn.Module):
             num_layers=self.num_layers, dtype=self.dtype, name="encoder"
         )(x, train=train)
         return DepthDecoder(
-            num_ch_enc=tuple(encoder_channels(self.num_layers)),
             scales=tuple(self.scales),
             dtype=self.dtype,
             name="decoder",
