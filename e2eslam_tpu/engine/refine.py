@@ -439,6 +439,11 @@ class RefinementEngine:
             gate = (map_state.count > 0).astype(jnp.float32)
             impl = str(L.get("knn_impl", "brute"))
             use_voxel = impl == "voxel" and map_index is not None
+            # When both the three3d loss and chamfer run, the chamfer's
+            # a->b direction reuses the association the three3d branch just
+            # computed (identical inputs) instead of projecting the map /
+            # reading the index image twice per step.
+            assoc_cache = None
             if L.three3d_loss or L.knn_points:
                 if impl == "index":
                     # O(HW) association via the cached index image (gathers
@@ -456,6 +461,7 @@ class RefinementEngine:
                     )
                     nn_idx = jax.lax.stop_gradient(nn_idx[::stride])
                     found = found[::stride]
+                    assoc_cache = (nn_idx, found)
                     # gather packed rows then slice: avoids materializing a
                     # full-map [N,3] strided view per step (trace: ~0.2
                     # ms/step of slice traffic)
@@ -500,6 +506,7 @@ class RefinementEngine:
                         )
                     nn_idx = jax.lax.stop_gradient(nn_idx[::stride])
                     found = found[::stride]
+                    assoc_cache = (nn_idx, found)
                     nn = jnp.take(det_map.points, nn_idx, axis=0)
                     w3 = msk * found.astype(msk.dtype)
                     d2 = jnp.sum((pts - nn) ** 2, axis=-1) * w3
@@ -546,19 +553,26 @@ class RefinementEngine:
                     det_map = jax.tree_util.tree_map(
                         jax.lax.stop_gradient, map_state
                     )
-                    if impl == "index":
-                        lv_c = L.get("index_assoc_levels")
-                        nn_i, fnd = index_nn(
-                            det_map, frame, levels=int(lv_c) if lv_c else None
-                        )
+                    if assoc_cache is not None:
+                        # Reuse the three3d branch's association (identical
+                        # inputs, already strided) — don't pay the map
+                        # projection / index read twice per step.
+                        nn_i, fnd = assoc_cache
                     else:
-                        aw_c = cfg.MODEL.get("active_window")
-                        nn_i, fnd = projective_nn(
-                            det_map, frame,
-                            active_window=int(aw_c) if aw_c else None,
-                        )
-                    nn_i = jax.lax.stop_gradient(nn_i[::stride])
-                    fnd = fnd[::stride]
+                        if impl == "index":
+                            lv_c = L.get("index_assoc_levels")
+                            nn_i, fnd = index_nn(
+                                det_map, frame,
+                                levels=int(lv_c) if lv_c else None,
+                            )
+                        else:
+                            aw_c = cfg.MODEL.get("active_window")
+                            nn_i, fnd = projective_nn(
+                                det_map, frame,
+                                active_window=int(aw_c) if aw_c else None,
+                            )
+                        nn_i = jax.lax.stop_gradient(nn_i[::stride])
+                        fnd = fnd[::stride]
                     # Distance form matches the brute/three3d convention:
                     # T_rel-transformed predictions vs raw map points.
                     nn_ab = jnp.take(det_map.data, nn_i, axis=0)[:, 0:3]
