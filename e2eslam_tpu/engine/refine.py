@@ -97,6 +97,18 @@ class RefineState(NamedTuple):
     step: Array  # [] int32
 
 
+
+def _masked_point_loss(pts, nn, w):
+    """Weighted mean squared point distance: sum(w * |pts-nn|^2) / max(sum w, 1).
+
+    THE shared reduction of every 3D-loss backend (index / projective /
+    voxel / brute / chamfer a->b) — one definition so gate/weight semantics
+    cannot drift between branches.
+    """
+    d2 = jnp.sum((pts - nn) ** 2, axis=-1) * w
+    return jnp.sum(d2) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 class RefinementEngine:
     """Builds and owns the jitted step functions for one config + model."""
 
@@ -482,8 +494,9 @@ class RefinementEngine:
                         w3 = w3 * (d2r < float(dgate) ** 2).astype(w3.dtype)
                     if L.get("three3d_conf_weight", False):
                         w3 = w3 * jnp.minimum(nn_rows[:, 9], 4.0) * 0.25
-                    d2 = d2r * w3
-                    knn_l = gate * jnp.sum(d2) / jnp.maximum(jnp.sum(w3), 1.0)
+                    knn_l = gate * (
+                        jnp.sum(d2r * w3) / jnp.maximum(jnp.sum(w3), 1.0)
+                    )
                 elif impl == "projective":
                     # TPU-native O(N_map) association: project the map onto
                     # the target frame instead of brute-force KNN (see
@@ -509,8 +522,7 @@ class RefinementEngine:
                     assoc_cache = (nn_idx, found)
                     nn = jnp.take(det_map.points, nn_idx, axis=0)
                     w3 = msk * found.astype(msk.dtype)
-                    d2 = jnp.sum((pts - nn) ** 2, axis=-1) * w3
-                    knn_l = gate * jnp.sum(d2) / jnp.maximum(jnp.sum(w3), 1.0)
+                    knn_l = gate * _masked_point_loss(pts, nn, w3)
                 elif use_voxel:
                     from e2eslam_tpu.ops.voxel_knn import voxel_knn
 
@@ -523,13 +535,11 @@ class RefinementEngine:
                     full_map = jax.lax.stop_gradient(map_state.points)
                     nn = jnp.take(full_map, idx, axis=0)
                     w3 = msk * found.astype(msk.dtype)
-                    d2 = jnp.sum((pts - nn) ** 2, axis=-1) * w3
-                    knn_l = gate * jnp.sum(d2) / jnp.maximum(jnp.sum(w3), 1.0)
+                    knn_l = gate * _masked_point_loss(pts, nn, w3)
                 else:
                     _, idx = knn_points_loss(map_pts, pts, n_gt=map_count)
                     nn = jnp.take(map_pts, idx, axis=0)
-                    d2 = jnp.sum((pts - nn) ** 2, axis=-1) * msk
-                    knn_l = gate * jnp.sum(d2) / jnp.maximum(jnp.sum(msk), 1.0)
+                    knn_l = gate * _masked_point_loss(pts, nn, msk)
                 w = float(L.three3d_loss_weight) if L.three3d_loss else float(
                     L.knn_points_weight
                 )
@@ -577,8 +587,7 @@ class RefinementEngine:
                     # T_rel-transformed predictions vs raw map points.
                     nn_ab = jnp.take(det_map.data, nn_i, axis=0)[:, 0:3]
                     w_ab = msk * fnd.astype(msk.dtype)
-                    d_ab = jnp.sum((pts - nn_ab) ** 2, axis=-1) * w_ab
-                    d_ab = jnp.sum(d_ab) / jnp.maximum(jnp.sum(w_ab), 1.0)
+                    d_ab = _masked_point_loss(pts, nn_ab, w_ab)
 
                     # b->a over the strided map view (map_pts/map_count are
                     # already the strided prefix-packed view): each map point
@@ -594,8 +603,7 @@ class RefinementEngine:
                     mvalid = (
                         (jnp.arange(map_pts.shape[0]) < map_count) & in_f
                     ).astype(jnp.float32) * q_ok
-                    d_ba = jnp.sum((map_pts - q_pt) ** 2, axis=-1) * mvalid
-                    d_ba = jnp.sum(d_ba) / jnp.maximum(jnp.sum(mvalid), 1.0)
+                    d_ba = _masked_point_loss(map_pts, q_pt, mvalid)
                 else:
                     # EXACT semantics: brute-force KNN both ways (Pallas).
                     # Both directions must ignore invalid (zero-depth) query
@@ -606,10 +614,9 @@ class RefinementEngine:
                     idx_ab = jax.lax.stop_gradient(
                         knn(jax.lax.stop_gradient(pts), map_pts, map_count)[1]
                     )
-                    d_ab = jnp.sum(
-                        (pts - jnp.take(map_pts, idx_ab, axis=0)) ** 2, axis=-1
-                    ) * msk
-                    d_ab = jnp.sum(d_ab) / jnp.maximum(jnp.sum(msk), 1.0)
+                    d_ab = _masked_point_loss(
+                        pts, jnp.take(map_pts, idx_ab, axis=0), msk
+                    )
 
                     # Sentinel for invalid pixels: far outside any scene
                     # (coords <= ~100 after the far-depth clamp) yet small
@@ -627,11 +634,9 @@ class RefinementEngine:
                     mvalid = (
                         jnp.arange(map_pts.shape[0]) < map_count
                     ).astype(jnp.float32)
-                    d_ba = jnp.sum(
-                        (map_pts - jnp.take(pts_safe, idx_ba, axis=0)) ** 2,
-                        axis=-1,
-                    ) * mvalid
-                    d_ba = jnp.sum(d_ba) / jnp.maximum(jnp.sum(mvalid), 1.0)
+                    d_ba = _masked_point_loss(
+                        map_pts, jnp.take(pts_safe, idx_ba, axis=0), mvalid
+                    )
 
                 ch = gate * (d_ab + d_ba)
                 loss = loss + 0.5 * ch * float(L.chamfer_weight)
