@@ -78,3 +78,33 @@ def test_windows_raise_when_out_of_range():
         SyntheticDataset(seqlen=4, height=32, width=32, dilation=5, start=90,
                          total_frames=50)
     assert _windows(50, seqlen=4, dilation=5, stride=1, start=90) == []
+
+
+def test_prefetch_batches_multithreaded_order_and_errors():
+    """prefetch_batches: N workers reassemble batches IN ORDER, and a
+    worker exception re-raises in the consumer (no deadlock)."""
+    import pytest
+
+    from e2eslam_tpu.data.pipeline import prefetch_batches
+    from e2eslam_tpu.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(seqlen=2, height=32, width=32, total_frames=16,
+                          stride=1)
+    idxs = [[i] for i in range(6)]
+    got = list(prefetch_batches(ds, idxs, num_threads=3))
+    assert len(got) == 6
+    ref = list(prefetch_batches(ds, idxs, num_threads=0))
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a[0], b[0])
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            if i == 2:
+                raise RuntimeError("decode failed")
+            return ds[0]
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(prefetch_batches(Broken(), [[0], [1], [2], [3]], num_threads=2))
