@@ -1,0 +1,89 @@
+"""Reproduce the world-vs-relative 3D-loss alignment ablation (round 3).
+
+The reference's ``compute_3d_loss`` transforms the WORLD-frame target cloud
+by the inter-keyframe relative transform before the KNN against the
+WORLD-frame map (online_adaption.py:642 + process_inputs:408-409) — baking
+a rigid ~baseline offset into every matched residual. ``LOSS.three3d_align``
+selects the residual frame; this script reproduces the BASELINE.md
+"world-aligned 3D loss" table on CPU (deterministic, ~15 min) or on the
+TPU at full scale with --full.
+
+Usage:  python tools/ablate_alignment.py [--full]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+
+
+def run(three3d, align, *, frac, jitter, gate, weight, hw, seq_len):
+    from e2eslam_tpu.config import default_config_path, load_yaml
+    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+
+    cfg = load_yaml(default_config_path())
+    cfg.DATA.name = "synthetic"
+    cfg.DATA.height, cfg.DATA.width = hw
+    cfg.DATA.start, cfg.DATA.dilation = 0, 2
+    cfg.DEMO.sequence_length = seq_len
+    cfg.DEMO.frame_threshold = 0.03
+    cfg.OPTIMIZATION.refinement_steps = 3
+    cfg.LOSS.three3d_loss = three3d
+    cfg.MODEL.fusion_impl = "index"
+    cfg.LOSS.knn_impl = "index"
+    cfg.LOSS.three3d_query_stride = 1
+    cfg.LOSS.three3d_dist_gate = gate
+    cfg.LOSS.three3d_conf_weight = True
+    cfg.LOSS.three3d_loss_weight = weight
+    cfg.LOSS.three3d_align = align
+    cfg.OPTIMIZATION.fused_update = True
+    cfg.ABLATION.median_stride = 4
+    cfg.DATA.textureless_frac = frac
+    cfg.DATA.photo_jitter = jitter
+    return OnlineAdaptation(cfg).run(verbose=False)["mean_abs_rel"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full", action="store_true",
+                    help="TPU scale (256x320 x 60 frames) instead of the "
+                         "CPU-sized 64x64 x 12 probe")
+    args = ap.parse_args()
+
+    if args.full:
+        from e2eslam_tpu.config import enable_compilation_cache
+
+        enable_compilation_cache()
+        hw, seq_len = (256, 320), 60
+    else:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        hw, seq_len = (64, 64), 12
+
+    for scene, frac, jitter in (("hard", 0.65, 0.25), ("easy", 0.0, 0.0)):
+        rows = {
+            "off": run(False, "relative", frac=frac, jitter=jitter,
+                       gate=None, weight=1.0, hw=hw, seq_len=seq_len),
+            "relative_r2_knobs": run(True, "relative", frac=frac,
+                                     jitter=jitter, gate=0.15, weight=0.1,
+                                     hw=hw, seq_len=seq_len),
+            "relative_w1": run(True, "relative", frac=frac, jitter=jitter,
+                               gate=None, weight=1.0, hw=hw,
+                               seq_len=seq_len),
+            "world_w1_flagship": run(True, "world", frac=frac,
+                                     jitter=jitter, gate=None, weight=1.0,
+                                     hw=hw, seq_len=seq_len),
+        }
+        print(json.dumps({"scene": scene, **{
+            k: round(float(v), 5) for k, v in rows.items()
+        }}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
