@@ -29,11 +29,21 @@ class Demo(OnlineAdaptation):
         original_process = self.engine.process_pair
 
         import jax
-        import jax.numpy as jnp
+        import numpy as np
+
+        from e2eslam_tpu.slam.pointclouds import MapState
 
         def snap(m):
-            # The engine donates map buffers on the next call; snapshot a copy.
-            self.snapshots.append(jax.tree_util.tree_map(jnp.copy, m))
+            # Snapshot to HOST, sliced to the valid count: a device-resident
+            # full-capacity copy per keyframe (capacity x 64 B) would grow
+            # HBM by ~300 MB per snapshot at 320x256x60 and OOM realistic
+            # demos. Snapshots are only ever consumed on host (PLY export /
+            # the plotly animation), so host numpy is the right home.
+            count = int(jax.device_get(m.count))
+            data = np.asarray(jax.device_get(m.data[:count]))
+            self.snapshots.append(
+                MapState(data=data, count=np.int32(count))
+            )
 
         def fuse_and_snapshot(state, pair, map_state, *, fuse_prev):
             new_map, est_pose = original_fuse(

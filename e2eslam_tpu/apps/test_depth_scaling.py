@@ -74,6 +74,13 @@ def evaluate(config, *, dataset=None, max_windows=None, verbose=True):
                 )
             if cfg.DEBUG.get("plot") and rs % DUMP_EVERY == 0:
                 _, depth = engine.predict_depth(state, pair.colors)
+                # Dump the SCALED depth the metrics are computed on — this
+                # script's whole purpose is evaluating the constant affine
+                # scaling; raw network depth would be off by ~the learned
+                # scale (e.g. 6.09 for ICL).
+                depth = depth * float(cfg.ABLATION.scaling_depth)
+                if cfg.ABLATION.get("with_bias", False):
+                    depth = depth + float(cfg.ABLATION.get("scaling_bias", 0.0))
                 os.makedirs(plot_dir, exist_ok=True)
                 np.save(
                     os.path.join(plot_dir, f"depth_it{it}_rs{rs}.npy"),

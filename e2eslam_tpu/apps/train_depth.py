@@ -101,6 +101,8 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
             config.VIZ.get("grad_images") or config.VIZ.get("tensorboard")
         ) and grad_out_dir is not None
         grads = None
+        last_host_m = None
+        last_debug_images = None
         plot_every = bool(config.DEBUG.get("plot")) and config.DEBUG.get(
             "plot_path"
         )
@@ -124,6 +126,7 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
                 or plot_every or logger is not None
             )
             m = dict(jax.device_get(metrics)) if need_host else None
+            last_host_m = m  # reused by the post-loop block (no re-fetch)
             if verbose and config.DEBUG.get("print_metrics"):
                 print(
                     f"iter {it} refine_step {rs} loss {float(m['total_loss']):.5f} "
@@ -157,7 +160,7 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
             if logger is not None:
                 grad_norms = m.pop("grad_norms", None)
                 grad_images = m.pop("grad_images", grad_images)
-                m.pop("debug_images", None)
+                last_debug_images = m.pop("debug_images", last_debug_images)
                 logger.log(
                     global_step,
                     {k: v for k, v in m.items() if np.ndim(v) == 0},
@@ -165,8 +168,12 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
                 if grad_norms:
                     logger.log(global_step, grad_norms, prefix="grad_norm/")
         if metrics is not None:
-            m = dict(jax.device_get(metrics))
-            debug_images = m.pop("debug_images", None)
+            # Reuse the final step's host fetch when observability already
+            # pulled it (the payload includes full-resolution debug/grad
+            # images — re-transferring it doubled the largest host copies).
+            m = (dict(last_host_m) if last_host_m is not None
+                 else dict(jax.device_get(metrics)))
+            debug_images = m.pop("debug_images", last_debug_images)
             m.pop("grad_norms", None)
             grad_images = m.pop("grad_images", grad_images)
             all_metrics.append(m)
@@ -176,7 +183,7 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
                 dump_debug_images(
                     debug_images, config.DEBUG.plot_path, f"iter{it:04d}"
                 )
-            if grads is not None:
+            if grads is not None and logger is not None:
                 from e2eslam_tpu.viz.logging import (
                     gradient_histograms, write_histograms,
                 )

@@ -49,6 +49,7 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
     rng = jax.random.key(1)
     n = len(dataset) if max_windows is None else min(len(dataset), max_windows)
     all_metrics = []
+    depths = None  # defined even when the window loop runs zero times
     for it in range(n):
         colors, gt_depths, intrinsics, poses, _ = load_batch(dataset, [it])
         colors, gt_depths, poses, K = colors[0], gt_depths[0], poses[0], intrinsics[0]

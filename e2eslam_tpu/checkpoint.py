@@ -71,19 +71,26 @@ def load_checkpoint(
     """
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
+    # Only restore files the manifest RECORDS: a reused checkpoint dir can
+    # hold stale msgpacks from an earlier save (e.g. an opt_state a later
+    # save chose not to write) — pairing those with new params silently
+    # corrupts a resume.
+    saved = set(manifest.get("files", []))
 
     with open(os.path.join(path, "params.msgpack"), "rb") as f:
         params = serialization.from_bytes(params_template, f.read())
 
     batch_stats = batch_stats_template
     bs_path = os.path.join(path, "batch_stats.msgpack")
-    if batch_stats_template is not None and os.path.exists(bs_path):
+    if (batch_stats_template is not None and os.path.exists(bs_path)
+            and (not saved or "batch_stats.msgpack" in saved)):
         with open(bs_path, "rb") as f:
             batch_stats = serialization.from_bytes(batch_stats_template, f.read())
 
     opt_state = opt_state_template
     os_path = os.path.join(path, "opt_state.msgpack")
-    if opt_state_template is not None and os.path.exists(os_path):
+    if (opt_state_template is not None and os.path.exists(os_path)
+            and (not saved or "opt_state.msgpack" in saved)):
         with open(os_path, "rb") as f:
             opt_state = serialization.from_bytes(opt_state_template, f.read())
 

@@ -103,5 +103,9 @@ def gradient_histograms(grads, *, bins: int = 64) -> Dict[str, Dict]:
             "hist": hist,
             "edges": edges,
             "norm": float(np.linalg.norm(arr)),
+            # tensorboardX add_histogram_raw derives mean = sum/num: without
+            # a real sum every layer reported mean 0.
+            "sum": float(arr.sum()),
+            "sum_sq": float(np.dot(arr, arr)),
         }
     return out

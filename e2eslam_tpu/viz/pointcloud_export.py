@@ -44,8 +44,17 @@ def export_ply(state: MapState, path: str, max_points: Optional[int] = None) -> 
             "property uchar red\nproperty uchar green\nproperty uchar blue\n"
             "end_header\n"
         )
-        for p, c in zip(pts, rgb):
-            f.write(f"{p[0]:.5f} {p[1]:.5f} {p[2]:.5f} {c[0]} {c[1]} {c[2]}\n")
+        # Vectorized row formatting: a per-point f-string loop took seconds
+        # per 200k-point file (one write per vertex).
+        cols = np.concatenate(
+            [np.asarray(pts, np.float64).round(5), rgb.astype(np.int64)],
+            axis=1,
+        )
+        f.write("\n".join(
+            "%.5f %.5f %.5f %d %d %d" % tuple(row) for row in cols
+        ))
+        if len(cols):
+            f.write("\n")
     return path
 
 
