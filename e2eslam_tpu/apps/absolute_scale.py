@@ -50,6 +50,17 @@ def train_scale(config, *, dataset=None, max_windows=None, verbose=True):
     grid = list(config.get("SCALE_GRID_SEARCH", {}).get("grid", [0.5]))
     n = len(dataset) if max_windows is None else min(len(dataset), max_windows)
 
+    # Load + pin every window ONCE: the grid loop reuses identical data, so
+    # per-init reloads re-stacked and re-shipped the same batches G times.
+    pairs = []
+    for it in range(n):
+        colors, gt_depths, intrinsics, poses, _ = load_batch(dataset, [it])
+        pairs.append(PairBatch(
+            colors=jnp.asarray(colors[0]), gt_depths=jnp.asarray(gt_depths[0]),
+            intrinsics=jnp.asarray(intrinsics[0]),
+            poses=jnp.asarray(poses[0]),
+        ))
+
     results = []
     for init_value in grid:
         scale_params = {"scale": jnp.asarray(float(init_value))}
@@ -59,12 +70,7 @@ def train_scale(config, *, dataset=None, max_windows=None, verbose=True):
 
         rng = jax.random.key(2)
         metrics = None
-        for it in range(n):
-            colors, gt_depths, intrinsics, poses, _ = load_batch(dataset, [it])
-            pair = PairBatch(
-                colors=colors[0], gt_depths=gt_depths[0],
-                intrinsics=intrinsics[0], poses=poses[0],
-            )
+        for pair in pairs:
             for _ in range(int(config.OPTIMIZATION.refinement_steps)):
                 rng, sub = jax.random.split(rng)
                 scale_params, opt_state, metrics = engine.scale_step(
