@@ -61,17 +61,19 @@ def run_bench():
     cfg.MODEL.fusion_impl = "index"
     cfg.LOSS.knn_impl = "index"
     cfg.LOSS.three3d_query_stride = 1
-    # Round-3 finding (BASELINE.md "world-aligned 3D loss"): the reference
-    # transforms the WORLD-frame target cloud by the inter-keyframe
-    # transform before the KNN (online_adaption.py:642) — a quirk that
-    # bakes a rigid baseline offset into every matched residual; round 2's
-    # gate/low-weight knobs were mostly damping that bias. With
-    # three3d_align: world (no shift — true map-consistency residuals) the
-    # loss runs at FULL reference weight 1.0 with no distance gate and
-    # IMPROVES quality on both the easy and hard benchmarks.
-    cfg.LOSS.three3d_align = "world"
+    # Quality knobs: the MEASURED-on-TPU round-2 configuration (abs_rel
+    # 0.077-0.080 at 60 frames; BASELINE.md ablations). Round 3 found a
+    # world-aligned full-weight variant (LOSS.three3d_align: world,
+    # weight 1.0, no gate) that wins decisively on the HARD benchmark at
+    # CPU scale (0.0911 vs 0.1104 off — tools/ablate_alignment.py), but
+    # small-scale easy-scene results do NOT track the 60-frame TPU scale
+    # (relative w1.0 scored 0.118 on CPU-easy yet 0.111 on TPU-easy where
+    # the knobs scored 0.077), so the flagship keeps the TPU-measured
+    # config until ablate_alignment --full confirms world at full scale.
+    cfg.LOSS.three3d_align = "relative"
+    cfg.LOSS.three3d_dist_gate = 0.15
     cfg.LOSS.three3d_conf_weight = True
-    cfg.LOSS.three3d_loss_weight = 1.0
+    cfg.LOSS.three3d_loss_weight = 0.1
     # bf16 CNN compute: measured quality-neutral on this workload
     # (abs_rel 0.112 bf16 vs 0.115 f32) and slightly faster; losses and
     # geometry stay f32 (the model casts outputs back, models/depth_net.py).

