@@ -500,3 +500,29 @@ def test_scatter_paths_preserve_kf_counter(seq):
     slam = ICPSLAM(odom="gt", fusion_impl="index", index_levels=2)
     out, _ = slam(colors[:2], depths[:2], K, poses[:2], capacity=4 * H * W)
     assert out.kf_counter is not None
+
+
+def test_compact_map_hash_collisions_do_not_merge():
+    """Hash-bucket collisions must NOT merge spatially distant surfels:
+    winners are verified by exact voxel-coordinate equality (empirically,
+    a tiny table merged ~2/3 of a spread-out cloud before the fix)."""
+    from e2eslam_tpu.slam.compact import compact_map
+    from e2eslam_tpu.slam.pointclouds import empty_map, pack_rows
+
+    rng = np.random.default_rng(0)
+    n = 600
+    pts = rng.uniform(-50.0, 50.0, (n, 3)).astype(np.float32)  # all distinct voxels
+    m = empty_map(n + 8)
+    rows = pack_rows(
+        jnp.asarray(pts), jnp.ones((n, 3)) / np.sqrt(3.0),
+        jnp.full((n, 3), 0.5), jnp.ones((n,)),
+    )
+    m = m._replace(data=m.data.at[:n].set(rows),
+                   count=jnp.asarray(n, jnp.int32))
+    # Tiny 256-bucket table guarantees many bucket collisions.
+    c = compact_map(m, voxel=0.05, table_pow=8)
+    assert int(c.count) == n  # no two points share a voxel -> nothing merges
+    # and total confidence is conserved
+    np.testing.assert_allclose(
+        float(jnp.sum(c.confidence[: int(c.count)])), float(n), rtol=1e-5
+    )
