@@ -24,9 +24,44 @@ denominator". vs_baseline = value / 2.64.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 REFERENCE_STEPS_PER_SEC_BOUND = 2.64  # tools/measure_reference_torch.py
+
+
+def _probe_backend(timeout_s: int = 300) -> str | None:
+    """Check (in a subprocess) that the accelerator backend initializes.
+
+    The tunneled TPU runtime has a failure mode where device init blocks
+    indefinitely (observed multi-hour outages); probing in a subprocess
+    with a timeout turns "bench hangs forever" into an honest error line.
+    Returns None when the backend is usable, else a short error string.
+    Probing is skipped when the caller pinned the CPU platform explicitly
+    (CPU smoke runs); the production environment pins JAX_PLATFORMS=axon,
+    which must still be probed.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return None
+    code = (
+        "import jax; d = jax.devices(); "
+        "assert d and d[0].platform != 'cpu', 'cpu fallback'"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return f"device init timed out after {timeout_s}s (tunnel outage)"
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()
+        return "backend unavailable: " + (tail[-1] if tail else "unknown")
+    return None
 
 
 def run_bench():
@@ -130,6 +165,22 @@ def run_bench():
 
 
 def main():
+    err = _probe_backend()
+    if err is not None:
+        # Honest failure record: the driver's bench run must not hang on a
+        # dead tunnel, and a CPU-fallback "measurement" would be meaningless.
+        print(
+            json.dumps(
+                {
+                    "metric": "refine_steps_per_sec",
+                    "value": 0.0,
+                    "unit": "steps/s",
+                    "vs_baseline": 0.0,
+                    "error": err,
+                }
+            )
+        )
+        sys.exit(1)
     result = run_bench()
     value = result["steps_per_sec"]
     print(
