@@ -177,6 +177,11 @@ def main():
                     "unit": "steps/s",
                     "vs_baseline": 0.0,
                     "error": err,
+                    "note": (
+                        "TPU tunnel unreachable at bench time; last "
+                        "measured results: BENCH_r02.json (32.4 steps/s) "
+                        "and BASELINE.md round-3 status summary"
+                    ),
                 }
             )
         )
