@@ -51,11 +51,16 @@ def run(three3d, align, *, frac, jitter, gate, weight, hw, seq_len):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
-                    help="TPU scale (256x320 x 60 frames) instead of the "
-                         "CPU-sized 64x64 x 12 probe")
+                    help="alias for --scale full")
+    ap.add_argument("--scale", choices=["probe", "mid", "full"],
+                    default="probe",
+                    help="probe = 64x64 x 12 on CPU (~15 min); mid = 96x128 "
+                         "x 24 on CPU (~35 min, scale-tracking check); "
+                         "full = 256x320 x 60 on the TPU")
     args = ap.parse_args()
+    scale = "full" if args.full else args.scale
 
-    if args.full:
+    if scale == "full":
         from e2eslam_tpu.config import enable_compilation_cache
 
         enable_compilation_cache()
@@ -64,7 +69,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        hw, seq_len = (64, 64), 12
+        hw, seq_len = ((96, 128), 24) if scale == "mid" else ((64, 64), 12)
 
     for scene, frac, jitter in (("hard", 0.65, 0.25), ("easy", 0.0, 0.0)):
         rows = {
