@@ -41,3 +41,27 @@ def test_copy_is_deep():
     cp = cfg.copy()
     cp.MODEL.num_layers = 50
     assert cfg.MODEL.num_layers == 18
+
+
+def test_all_shipped_presets_load():
+    """Every configs/*.yaml parses and carries the core sections; the
+    hard-mode world preset pins its defining knobs (BASELINE.md)."""
+    cfg_dir = os.path.join(os.path.dirname(default_config_path()))
+    names = sorted(
+        f for f in os.listdir(cfg_dir) if f.endswith(".yaml")
+    )
+    assert len(names) >= 7, names
+    for name in names:
+        cfg = load_yaml(os.path.join(cfg_dir, name))
+        for section in ("SETTINGS", "DATA", "MODEL", "LOSS", "OPTIMIZATION"):
+            assert section in cfg, (name, section)
+    hard = load_yaml(os.path.join(cfg_dir, "config_hard_world.yaml"))
+    assert hard.LOSS.three3d_align == "world"
+    assert hard.LOSS.three3d_loss_weight == 1.0
+    assert hard.LOSS.three3d_dist_gate is None
+    assert hard.DATA.textureless_frac == 0.65
+    assert hard.DATA.photo_jitter == 0.25
+    # fast preset stays on the TPU-measured relative flagship
+    fast = load_yaml(os.path.join(cfg_dir, "config_tpu_fast.yaml"))
+    assert fast.LOSS.three3d_align == "relative"
+    assert fast.LOSS.three3d_dist_gate == 0.15
