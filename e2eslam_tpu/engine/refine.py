@@ -98,14 +98,21 @@ class RefineState(NamedTuple):
 
 
 
-def _masked_point_loss(pts, nn, w):
+def _masked_point_loss(pts, nn, w, scale=None):
     """Weighted mean squared point distance: sum(w * |pts-nn|^2) / max(sum w, 1).
 
     THE shared reduction of every 3D-loss backend (index / projective /
     voxel / brute / chamfer a->b) — one definition so gate/weight semantics
     cannot drift between branches.
+
+    ``scale`` (optional, [N]) multiplies the NUMERATOR only — a per-residual
+    attenuation (e.g. the texture gate) that genuinely shrinks the loss where
+    it applies, instead of re-normalizing into a weighted mean that would keep
+    the loss magnitude even when every residual is down-weighted.
     """
     d2 = jnp.sum((pts - nn) ** 2, axis=-1) * w
+    if scale is not None:
+        d2 = d2 * scale
     return jnp.sum(d2) / jnp.maximum(jnp.sum(w), 1.0)
 
 
@@ -420,6 +427,23 @@ class RefinementEngine:
             stride = int(L.get("three3d_query_stride", 1))
             pts = live.points[::stride]
             msk = live.mask[::stride]
+            # LOSS.three3d_texture_gate (float k, off by default): scale each
+            # query pixel's 3D residual by exp(-k * local texture) — full 3D
+            # supervision where photometric is blind (textureless surfaces,
+            # broken brightness constancy), attenuated where the image carries
+            # texture and photometric supervision is better informed. See
+            # losses.points.texture_gate. Numerator-only (via the ``scale``
+            # arg of _masked_point_loss), so a fully-textured scene genuinely
+            # shuts the loss off instead of re-normalizing.
+            tgk = L.get("three3d_texture_gate")
+            if tgk:
+                from e2eslam_tpu.losses.points import texture_gate
+
+                tex = jax.lax.stop_gradient(
+                    texture_gate(pair.colors[TARGET], float(tgk))[::stride]
+                )
+            else:
+                tex = None
             # LOSS.three3d_align:
             #   "relative" (default, reference parity): transform the
             #     WORLD-frame target cloud by the target->source transform
@@ -494,8 +518,9 @@ class RefinementEngine:
                         w3 = w3 * (d2r < float(dgate) ** 2).astype(w3.dtype)
                     if L.get("three3d_conf_weight", False):
                         w3 = w3 * jnp.minimum(nn_rows[:, 9], 4.0) * 0.25
+                    d2n = d2r * w3 if tex is None else d2r * w3 * tex
                     knn_l = gate * (
-                        jnp.sum(d2r * w3) / jnp.maximum(jnp.sum(w3), 1.0)
+                        jnp.sum(d2n) / jnp.maximum(jnp.sum(w3), 1.0)
                     )
                 elif impl == "projective":
                     # TPU-native O(N_map) association: project the map onto
@@ -522,7 +547,7 @@ class RefinementEngine:
                     assoc_cache = (nn_idx, found)
                     nn = jnp.take(det_map.points, nn_idx, axis=0)
                     w3 = msk * found.astype(msk.dtype)
-                    knn_l = gate * _masked_point_loss(pts, nn, w3)
+                    knn_l = gate * _masked_point_loss(pts, nn, w3, scale=tex)
                 elif use_voxel:
                     from e2eslam_tpu.ops.voxel_knn import voxel_knn
 
@@ -535,11 +560,11 @@ class RefinementEngine:
                     full_map = jax.lax.stop_gradient(map_state.points)
                     nn = jnp.take(full_map, idx, axis=0)
                     w3 = msk * found.astype(msk.dtype)
-                    knn_l = gate * _masked_point_loss(pts, nn, w3)
+                    knn_l = gate * _masked_point_loss(pts, nn, w3, scale=tex)
                 else:
                     _, idx = knn_points_loss(map_pts, pts, n_gt=map_count)
                     nn = jnp.take(map_pts, idx, axis=0)
-                    knn_l = gate * _masked_point_loss(pts, nn, msk)
+                    knn_l = gate * _masked_point_loss(pts, nn, msk, scale=tex)
                 w = float(L.three3d_loss_weight) if L.three3d_loss else float(
                     L.knn_points_weight
                 )

@@ -76,6 +76,79 @@ def color_points_loss(
     return _masked_mean(err, n_query)
 
 
+def _box3(x: Array) -> Array:
+    """3x3 box filter with edge padding. ``x``: [H, W, C]."""
+    xp = jnp.pad(x, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    return (
+        xp[:-2, :-2] + xp[:-2, 1:-1] + xp[:-2, 2:]
+        + xp[1:-1, :-2] + xp[1:-1, 1:-1] + xp[1:-1, 2:]
+        + xp[2:, :-2] + xp[2:, 1:-1] + xp[2:, 2:]
+    ) * (1.0 / 9.0)
+
+
+def _grad_mag(s: Array) -> Array:
+    """Channel-mean |∂x|+|∂y|, edge-padded back to [H, W]."""
+    gx = jnp.pad(
+        jnp.mean(jnp.abs(s[:, 1:, :] - s[:, :-1, :]), axis=-1),
+        ((0, 0), (0, 1)), mode="edge",
+    )
+    gy = jnp.pad(
+        jnp.mean(jnp.abs(s[1:, :, :] - s[:-1, :, :]), axis=-1),
+        ((1, 0), (0, 0)), mode="edge",
+    )
+    return gx + gy
+
+
+# Calibrated on pure iid Gaussian pixel noise: the blurred-gradient ratio
+# E[g_coarse]/E[g_fine] is 0.358 INDEPENDENT of the noise sigma (both terms
+# are linear in sigma), so subtracting 0.45*g_fine cancels the noise floor
+# with margin while real scene texture (ratio ~0.85 — edges persist across
+# blur scales) survives.
+_NOISE_ALPHA = 0.45
+
+
+def texture_gate(img: Array, k: float) -> Array:
+    """Per-pixel gate for 3D point supervision from local image texture.
+
+    TPU-first quality addition (no reference counterpart; off by default).
+    Motivation: the E2E 3D loss (reference ``online_adaption.py:638-645``)
+    exists for surfaces where photometric supervision is blind — textureless
+    walls, broken brightness constancy. Where the image DOES carry texture,
+    photometric supervision is strictly better informed, and the (approximate,
+    association-noise-carrying) 3D residual only fights it. This gate scales
+    each query pixel's 3D residual by ``exp(-k * texture)`` so supervision
+    flows from the 3D loss exactly where photometric has nothing to say.
+
+    ``texture`` is a noise-cancelling band-pass score: gradient magnitude of
+    the image blurred at two scales (2 and 6 box-filter passes), combined as
+    ``max(g_coarse - 0.45 * g_fine, 0)``. For iid sensor/exposure noise both
+    gradients scale linearly with the noise sigma at a fixed measured ratio
+    (0.358), so the subtraction zeroes noisy-but-flat regions at ANY noise
+    level, while scene edges (which persist across blur scales) stay positive.
+    A final 3x3 average squashes surviving noise speckle toward zero.
+
+    Args:
+      img: ``[H, W, 3]`` color image in [0, 1].
+      k: gate strength (1/intensity-gradient units); larger = sharper cutoff.
+        ~150 separates flat from textured on 64x64-scale scenes; the band-pass
+        score shrinks as texture is sampled more finely, so higher resolutions
+        may want a larger k. The failure mode of an under-tuned k is only
+        under-attenuation on texture — flat regions score exactly 0 and keep
+        full 3D supervision regardless of k.
+
+    Returns:
+      ``[H*W]`` float32 gate in (0, 1]: 1 on flat regions, →0 near texture.
+    """
+    s = _box3(_box3(img.astype(jnp.float32)))
+    g_fine = _grad_mag(s)
+    for _ in range(4):
+        s = _box3(s)
+    g_coarse = _grad_mag(s)
+    band = jnp.maximum(g_coarse - _NOISE_ALPHA * g_fine, 0.0)
+    band = _box3(band[..., None])[..., 0]
+    return jnp.exp(-float(k) * band).reshape(-1)
+
+
 def chamfer_distance(
     a: Array,
     b: Array,

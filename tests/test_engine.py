@@ -292,3 +292,30 @@ def test_fused_update_matches_per_leaf(pair):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7
         )
+
+
+def test_texture_gate_scales_three3d_numerator_only(pair):
+    """LOSS.three3d_texture_gate: a textured target shrinks the three3d aux
+    loss strongly vs gate-off; a FLAT target leaves it unchanged (the band-
+    pass texture score is exactly 0 there, numerator-only semantics)."""
+    slam = PointFusion(odom="gt")
+    gmap, _ = slam(pair.colors, pair.gt_depths, pair.intrinsics, pair.poses,
+                   capacity=2 * H * W)
+
+    def three3d(gate_k, batch):
+        cfg = small_config(**{
+            "LOSS.three3d_loss": True,
+            "LOSS.three3d_texture_gate": gate_k,
+        })
+        engine, state = _engine_and_state(cfg)
+        _, metrics = engine.refine_step(state, batch, gmap, jax.random.key(0))
+        return float(metrics["three3d"])
+
+    base = three3d(None, pair)
+    gated = three3d(300.0, pair)
+    assert 0.0 < gated < 0.35 * base, (gated, base)
+
+    flat = pair._replace(colors=jnp.full_like(pair.colors, 0.5))
+    base_flat = three3d(None, flat)
+    gated_flat = three3d(300.0, flat)
+    assert gated_flat == pytest.approx(base_flat, rel=1e-5)

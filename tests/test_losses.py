@@ -148,3 +148,38 @@ def test_depth_metrics_tum_masks_zeros():
     m = depth_metrics("TUM", jnp.asarray(gt), jnp.asarray(pred))
     assert float(m["abs_rel"]) == pytest.approx(0.0, abs=1e-7)
     assert float(m["a1"]) == pytest.approx(1.0)
+
+
+def test_texture_gate_flat_vs_textured():
+    """Flat regions gate at exactly 1; textured regions are attenuated."""
+    from e2eslam_tpu.losses.points import texture_gate
+
+    h = w = 48
+    img = np.full((h, w, 3), 0.5, np.float32)
+    # high-contrast block texture on the right half (coarse enough to persist
+    # across the band-pass blur scales — pixel-frequency patterns are treated
+    # as sensor noise by design)
+    yy, xx = np.mgrid[0:h, 0:w]
+    checker = (((yy // 6) + (xx // 6)) % 2).astype(np.float32)
+    img[:, w // 2:, :] = 0.2 + 0.6 * checker[:, w // 2:, None]
+
+    g = np.asarray(texture_gate(jnp.asarray(img), 300.0)).reshape(h, w)
+    flat = g[:, : w // 2 - 8]  # away from the boundary
+    tex = g[:, w // 2 + 8:]
+    assert float(flat.min()) == pytest.approx(1.0, abs=1e-6)
+    assert float(tex.mean()) < 0.2
+    assert g.min() > 0.0 and g.max() <= 1.0
+
+
+def test_texture_gate_noise_robust():
+    """iid pixel noise on a FLAT image must not close the gate (the band-pass
+    score cancels noise at any sigma — calibrated _NOISE_ALPHA)."""
+    from e2eslam_tpu.losses.points import texture_gate
+
+    rng = np.random.default_rng(3)
+    for sigma in (0.05, 0.125):
+        img = np.clip(
+            0.5 + sigma * rng.standard_normal((48, 48, 3)), 0, 1
+        ).astype(np.float32)
+        g = np.asarray(texture_gate(jnp.asarray(img), 150.0))
+        assert float(np.median(g)) > 0.85, (sigma, float(np.median(g)))

@@ -22,7 +22,8 @@ import argparse
 import json
 
 
-def run(three3d, align, *, frac, jitter, gate, weight, hw, seq_len):
+def run(three3d, align, *, frac, jitter, gate, weight, hw, seq_len,
+        texgate=None):
     from e2eslam_tpu.config import default_config_path, load_yaml
     from e2eslam_tpu.engine.adaptation import OnlineAdaptation
 
@@ -41,6 +42,8 @@ def run(three3d, align, *, frac, jitter, gate, weight, hw, seq_len):
     cfg.LOSS.three3d_conf_weight = True
     cfg.LOSS.three3d_loss_weight = weight
     cfg.LOSS.three3d_align = align
+    if texgate:
+        cfg.LOSS.three3d_texture_gate = float(texgate)
     cfg.OPTIMIZATION.fused_update = True
     cfg.ABLATION.median_stride = 4
     cfg.DATA.textureless_frac = frac
@@ -84,6 +87,15 @@ def main():
             "world_w1_flagship": run(True, "world", frac=frac,
                                      jitter=jitter, gate=None, weight=1.0,
                                      hw=hw, seq_len=seq_len),
+            # + texture gate (LOSS.three3d_texture_gate): 3D residuals
+            # attenuated where the image carries texture — full 3D
+            # supervision only where photometric is blind. k is
+            # resolution-dependent (band-pass score shrinks with finer
+            # sampling): ~150 at probe/mid scale, ~600 at 256x320.
+            "world_w1_texgate": run(
+                True, "world", frac=frac, jitter=jitter, gate=None,
+                weight=1.0, hw=hw, seq_len=seq_len,
+                texgate=600.0 if scale == "full" else 150.0),
         }
         print(json.dumps({"scene": scene, **{
             k: round(float(v), 5) for k, v in rows.items()
