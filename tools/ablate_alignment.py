@@ -96,6 +96,15 @@ def main():
                 True, "world", frac=frac, jitter=jitter, gate=None,
                 weight=1.0, hw=hw, seq_len=seq_len,
                 texgate=600.0 if scale == "full" else 150.0),
+            # flagship candidate: TPU-measured relative+r2-knob base, plus
+            # the texture gate to recover easy-scene quality (VERDICT r2
+            # weak #5: the flagship's 3D loss costs abs_rel on textured
+            # scenes; gating it to photometric-blind pixels should close
+            # that gap while keeping the hard-scene capability).
+            "relative_knobs_texgate": run(
+                True, "relative", frac=frac, jitter=jitter, gate=0.15,
+                weight=0.1, hw=hw, seq_len=seq_len,
+                texgate=600.0 if scale == "full" else 150.0),
         }
         print(json.dumps({"scene": scene, **{
             k: round(float(v), 5) for k, v in rows.items()
