@@ -129,12 +129,17 @@ def texture_gate(img: Array, k: float) -> Array:
 
     Args:
       img: ``[H, W, 3]`` color image in [0, 1].
-      k: gate strength (1/intensity-gradient units); larger = sharper cutoff.
-        ~150 separates flat from textured on 64x64-scale scenes; the band-pass
-        score shrinks as texture is sampled more finely, so higher resolutions
-        may want a larger k. The failure mode of an under-tuned k is only
-        under-attenuation on texture — flat regions score exactly 0 and keep
-        full 3D supervision regardless of k.
+      k: gate strength (1/intensity-gradient units), defined at the
+        reference resolution of the system (320 px wide — the reference's
+        input width, ``configs/config.yaml:9``); larger = sharper cutoff.
+        The band-pass score of a fixed scene texture scales ~linearly with
+        sampling density (per-pixel gradients shrink as resolution grows),
+        so the effective strength is auto-scaled by ``W / 320`` — one knob
+        value behaves consistently across probe/mid/full scales (measured:
+        manual k=150 at 64 px ≈ k=600 at 320 px). ~600 separates flat from
+        textured on the synthetic scenes. The failure mode of an under-tuned
+        k is only under-attenuation on texture — flat regions score exactly
+        0 and keep full 3D supervision regardless of k.
 
     Returns:
       ``[H*W]`` float32 gate in (0, 1]: 1 on flat regions, →0 near texture.
@@ -146,7 +151,8 @@ def texture_gate(img: Array, k: float) -> Array:
     g_coarse = _grad_mag(s)
     band = jnp.maximum(g_coarse - _NOISE_ALPHA * g_fine, 0.0)
     band = _box3(band[..., None])[..., 0]
-    return jnp.exp(-float(k) * band).reshape(-1)
+    k_eff = float(k) * (img.shape[1] / 320.0)
+    return jnp.exp(-k_eff * band).reshape(-1)
 
 
 def chamfer_distance(

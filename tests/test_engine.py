@@ -312,10 +312,10 @@ def test_texture_gate_scales_three3d_numerator_only(pair):
         return float(metrics["three3d"])
 
     base = three3d(None, pair)
-    gated = three3d(300.0, pair)
+    gated = three3d(1500.0, pair)
     assert 0.0 < gated < 0.35 * base, (gated, base)
 
     flat = pair._replace(colors=jnp.full_like(pair.colors, 0.5))
     base_flat = three3d(None, flat)
-    gated_flat = three3d(300.0, flat)
+    gated_flat = three3d(1500.0, flat)
     assert gated_flat == pytest.approx(base_flat, rel=1e-5)

@@ -89,13 +89,13 @@ def main():
                                      hw=hw, seq_len=seq_len),
             # + texture gate (LOSS.three3d_texture_gate): 3D residuals
             # attenuated where the image carries texture — full 3D
-            # supervision only where photometric is blind. k is
-            # resolution-dependent (band-pass score shrinks with finer
-            # sampling): ~150 at probe/mid scale, ~600 at 256x320.
+            # supervision only where photometric is blind. k is defined at
+            # the 320-px reference width and auto-scales with resolution
+            # (losses/points.py::texture_gate), so 600 behaves consistently
+            # at probe/mid/full scales.
             "world_w1_texgate": run(
                 True, "world", frac=frac, jitter=jitter, gate=None,
-                weight=1.0, hw=hw, seq_len=seq_len,
-                texgate=600.0 if scale == "full" else 150.0),
+                weight=1.0, hw=hw, seq_len=seq_len, texgate=600.0),
             # flagship candidate: TPU-measured relative+r2-knob base, plus
             # the texture gate to recover easy-scene quality (VERDICT r2
             # weak #5: the flagship's 3D loss costs abs_rel on textured
@@ -103,8 +103,7 @@ def main():
             # that gap while keeping the hard-scene capability).
             "relative_knobs_texgate": run(
                 True, "relative", frac=frac, jitter=jitter, gate=0.15,
-                weight=0.1, hw=hw, seq_len=seq_len,
-                texgate=600.0 if scale == "full" else 150.0),
+                weight=0.1, hw=hw, seq_len=seq_len, texgate=600.0),
         }
         print(json.dumps({"scene": scene, **{
             k: round(float(v), 5) for k, v in rows.items()
