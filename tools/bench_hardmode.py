@@ -90,6 +90,16 @@ def main():
     world.LOSS.three3d_dist_gate = None
     world.LOSS.three3d_loss_weight = 1.0
     onw = run_row(world, "hard three3d ON (world-aligned w=1.0)")
+    # Texture-gated variants (LOSS.three3d_texture_gate, round 3): the gate
+    # must stay ~neutral on the hard scene (flat regions score 0 -> full 3D
+    # supervision where it matters). Measured neutral at probe+mid CPU
+    # scales; these rows confirm at full scale.
+    texw = world.copy()
+    texw.LOSS.three3d_texture_gate = 600.0
+    ontw = run_row(texw, "hard three3d ON (world w=1.0 + texgate 600)")
+    texk = base.copy()
+    texk.LOSS.three3d_texture_gate = 600.0
+    ontk = run_row(texk, "hard three3d ON (flagship knobs + texgate 600)")
     off_cfg = base.copy()
     off_cfg.LOSS.three3d_loss = False
     off = run_row(off_cfg, "hard three3d OFF")
@@ -97,6 +107,8 @@ def main():
         "hard_mode_3d_wins": min(on["abs_rel"], onw["abs_rel"]) < off["abs_rel"],
         "delta_abs_rel_knobs": round(off["abs_rel"] - on["abs_rel"], 5),
         "delta_abs_rel_world": round(off["abs_rel"] - onw["abs_rel"], 5),
+        "delta_abs_rel_world_texgate": round(off["abs_rel"] - ontw["abs_rel"], 5),
+        "delta_abs_rel_knobs_texgate": round(off["abs_rel"] - ontk["abs_rel"], 5),
     }), flush=True)
 
     if not args.skip_revisit:
