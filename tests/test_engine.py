@@ -319,3 +319,33 @@ def test_texture_gate_scales_three3d_numerator_only(pair):
     base_flat = three3d(None, flat)
     gated_flat = three3d(1500.0, flat)
     assert gated_flat == pytest.approx(base_flat, rel=1e-5)
+
+
+def test_refinement_survives_corrupted_input(pair):
+    """Robustness: the jitted refine+fuse path stays finite when the input
+    pair is corrupted by the perturbation toolkit (noise on color+depth and
+    a zeroed center patch — zero depth exercises the validity masks)."""
+    from e2eslam_tpu.utils.corruption import corrupt_rgbd
+
+    cfg = small_config(**{"LOSS.three3d_loss": True})
+    # the corruption toolkit operates on the batched [B,L,H,W,C] layout
+    noisy_c, noisy_d = corrupt_rgbd(
+        cfg, jax.random.key(7), pair.colors[None], pair.gt_depths[None]
+    )
+    noisy_c = jnp.clip(noisy_c[0], 0.0, 1.0)
+    # plus a zeroed center patch on the target frame's depth — zero depth
+    # exercises the validity masks end to end.
+    noisy_d = noisy_d[0].at[1, 24:40, 24:40, :].set(0.0)
+    noisy = pair._replace(colors=noisy_c, gt_depths=noisy_d)
+
+    engine, state = _engine_and_state(cfg)
+    slam = PointFusion(odom="gt")
+    gmap, _ = slam(noisy.colors, noisy.gt_depths, noisy.intrinsics,
+                   noisy.poses, capacity=2 * H * W)
+    for _ in range(3):
+        state, metrics = engine.refine_step(state, noisy, gmap,
+                                            jax.random.key(1))
+        assert np.isfinite(float(metrics["total_loss"])), metrics
+        assert np.isfinite(float(metrics["three3d"]))
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
