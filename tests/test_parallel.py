@@ -193,6 +193,9 @@ def test_batched_nseq_on_single_device_mesh():
     cfg.DEMO.frame_threshold = 0.01
     cfg.OPTIMIZATION.refinement_steps = 2
     cfg.LOSS.three3d_loss = True
+    # texture gate on: pins that the flagship-candidate loss config is
+    # vmap-safe inside the batched/mesh-parallel machinery
+    cfg.LOSS.three3d_texture_gate = 600.0
     cfg.DEBUG.print_metrics = False
 
     L = int(cfg.DEMO.sequence_length)
