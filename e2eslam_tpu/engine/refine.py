@@ -755,6 +755,18 @@ class RefinementEngine:
                         ),
                         "depth": jax.lax.stop_gradient(depth[TARGET, ..., 0]),
                     }
+                    tgk_dbg = cfg.LOSS.get("three3d_texture_gate")
+                    if tgk_dbg:
+                        from e2eslam_tpu.losses.points import texture_gate
+
+                        Hh, Ww = pair.colors.shape[1:3]
+                        aux["debug_images"]["texture_gate"] = (
+                            jax.lax.stop_gradient(
+                                texture_gate(
+                                    pair.colors[TARGET], float(tgk_dbg)
+                                ).reshape(Hh, Ww)
+                            )
+                        )
                 return loss, aux
 
             tap_grads = None

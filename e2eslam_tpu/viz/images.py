@@ -160,4 +160,10 @@ def dump_debug_images(images: Dict[str, np.ndarray], out_dir: str,
         paths["depth"] = save_depth(
             os.path.join(out_dir, f"{tag}_depth.png"), images["depth"]
         )
+    if "texture_gate" in images:
+        # where the 3D loss is allowed to supervise (1 = photometric-blind)
+        paths["texture_gate"] = save_error(
+            os.path.join(out_dir, f"{tag}_texgate.png"),
+            images["texture_gate"],
+        )
     return paths

@@ -181,6 +181,8 @@ def test_train_depth_observability(tmp_path):
     cfg = tiny_config(**{
         "OPTIMIZATION.refinement_steps": 2,
         "DATA.frames": [0, -1],
+        # exercises the texture-gate debug image alongside the others
+        "LOSS.three3d_texture_gate": 600.0,
     })
     cfg.SETTINGS.log_path = str(tmp_path / "logs")
     cfg.SETTINGS.name = "obs_test"
@@ -206,6 +208,7 @@ def test_train_depth_observability(tmp_path):
     assert any("synth" in p for p in plots)
     assert any("photo_err" in p for p in plots)
     assert any("depth" in p for p in plots)
+    assert any("texgate" in p for p in plots), plots
 
     # per-step DEBUG.plot cadence (reference train_depth.py:551-612):
     # target/source frames at step 0 + per-step depth/synth dumps
