@@ -434,7 +434,9 @@ class RefinementEngine:
             # texture and photometric supervision is better informed. See
             # losses.points.texture_gate. Numerator-only (via the ``scale``
             # arg of _masked_point_loss), so a fully-textured scene genuinely
-            # shuts the loss off instead of re-normalizing.
+            # shuts the loss off instead of re-normalizing. Applies to the
+            # three3d/knn loss only — the chamfer loss keeps exact reference
+            # semantics (it is the TUM-config parity anchor).
             tgk = L.get("three3d_texture_gate")
             if tgk:
                 from e2eslam_tpu.losses.points import texture_gate
