@@ -13,6 +13,11 @@ from e2eslam_tpu.losses.points import (
     color_points_loss,
     chamfer_distance,
 )
+from e2eslam_tpu.losses.points_sharded import (
+    knn_points_loss_map_sharded,
+    chamfer_distance_map_sharded,
+    nn_map_sharded,
+)
 from e2eslam_tpu.losses.metrics import depth_metrics, compute_depth_errors
 from e2eslam_tpu.losses.trajectory import (
     absolute_trajectory_error,
@@ -30,6 +35,9 @@ __all__ = [
     "knn_points_loss",
     "color_points_loss",
     "chamfer_distance",
+    "knn_points_loss_map_sharded",
+    "chamfer_distance_map_sharded",
+    "nn_map_sharded",
     "depth_metrics",
     "compute_depth_errors",
     "absolute_trajectory_error",

@@ -239,3 +239,116 @@ def test_batched_nseq_on_single_device_mesh():
     with pytest.raises(ValueError, match="multiple"):
         ParallelAdaptation(cfg, model, map_capacity=capacity,
                            mesh=make_mesh(2), n_seq=3)
+
+
+def test_knn_map_sharded_matches_single_device():
+    """Sharded exact KNN == single-device KNN over the concatenated map.
+
+    Shards the reference cloud over all 8 CPU-mesh devices, with a valid
+    prefix that ends mid-shard (so some shards are partial and the last ones
+    are empty), and checks distances AND indices match ops.knn exactly.
+    """
+    from e2eslam_tpu.ops.knn import knn_xla
+    from e2eslam_tpu.ops.knn_sharded import knn_map_sharded, shard_map_rows
+
+    rng = np.random.default_rng(3)
+    mesh = make_mesh(8, axis="map")
+    Nq, Nr = 257, 8 * 64  # capacity divisible by the mesh axis
+    nr = 5 * 64 + 17      # valid prefix ends inside shard 5; shards 6,7 empty
+    query = jnp.asarray(rng.normal(size=(Nq, 3)), jnp.float32)
+    ref = jnp.asarray(rng.normal(size=(Nr, 3)), jnp.float32)
+    ref_sharded = shard_map_rows(mesh, ref, axis="map")
+
+    d2_s, idx_s = jax.jit(
+        lambda q, r: knn_map_sharded(mesh, q, r, nr, axis="map")
+    )(query, ref_sharded)
+    d2_ref, idx_ref = knn_xla(query, ref, nr)
+
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_ref))
+    np.testing.assert_allclose(np.asarray(d2_s), np.asarray(d2_ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_knn_map_sharded_nq_and_empty_tail():
+    """nq forwarding + all-empty-shard guard: only valid queries compared."""
+    from e2eslam_tpu.ops.knn import knn_xla
+    from e2eslam_tpu.ops.knn_sharded import knn_map_sharded, shard_map_rows
+
+    rng = np.random.default_rng(4)
+    mesh = make_mesh(8, axis="map")
+    Nq, Nr = 64, 8 * 32
+    nq, nr = 41, 2 * 32  # valid refs only in shards 0-1
+    query = jnp.asarray(rng.normal(size=(Nq, 3)), jnp.float32)
+    ref = jnp.asarray(rng.normal(size=(Nr, 3)), jnp.float32)
+
+    d2_s, idx_s = knn_map_sharded(
+        mesh, query, shard_map_rows(mesh, ref), nr, nq
+    )
+    d2_ref, idx_ref = knn_xla(query, ref, nr)
+    np.testing.assert_array_equal(np.asarray(idx_s)[:nq],
+                                  np.asarray(idx_ref)[:nq])
+    np.testing.assert_allclose(np.asarray(d2_s)[:nq], np.asarray(d2_ref)[:nq],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_points_losses_map_sharded_match_single_device():
+    """Sharded 3D losses == single-device losses, values AND gradients.
+
+    The map (with a valid prefix ending mid-shard) is row-sharded over the
+    8-device mesh; the frame cloud is replicated. Checks knn_points_loss,
+    the aux (color) lookup, and bidirectional chamfer against losses/points,
+    including d(loss)/d(frame) through the psum'd map->frame direction.
+    """
+    from e2eslam_tpu.losses import points as pts
+    from e2eslam_tpu.losses.points_sharded import (
+        chamfer_distance_map_sharded,
+        knn_points_loss_map_sharded,
+        nn_map_sharded,
+    )
+    from e2eslam_tpu.ops.knn_sharded import shard_map_rows
+
+    rng = np.random.default_rng(11)
+    mesh = make_mesh(8, axis="map")
+    Nq, Nr = 97, 8 * 32
+    n_map, n_q = 5 * 32 + 7, 61
+    frame = jnp.asarray(rng.normal(size=(Nq, 3)), jnp.float32)
+    map_pts = jnp.asarray(rng.normal(size=(Nr, 3)), jnp.float32)
+    map_cols = jnp.asarray(rng.uniform(size=(Nr, 3)), jnp.float32)
+    map_sh = shard_map_rows(mesh, map_pts)
+    cols_sh = shard_map_rows(mesh, map_cols)
+
+    # Value + index parity for the frame->map loss.
+    loss_s, idx_s = knn_points_loss_map_sharded(
+        mesh, map_sh, frame, n_map=n_map, n_query=n_q
+    )
+    loss_r, idx_r = pts.knn_points_loss(
+        map_pts, frame, n_gt=n_map, n_query=n_q
+    )
+    np.testing.assert_allclose(float(loss_s), float(loss_r), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx_s)[:n_q],
+                                  np.asarray(idx_r)[:n_q])
+
+    # Aux lookup (map colors) matches a direct gather by the same indices.
+    _, _, win_cols = nn_map_sharded(
+        mesh, frame, map_sh, cols_sh, n_map=n_map, n_query=n_q
+    )
+    np.testing.assert_allclose(
+        np.asarray(win_cols)[:n_q],
+        np.asarray(jnp.take(map_cols, idx_r, axis=0))[:n_q],
+        rtol=1e-6,
+    )
+
+    # Bidirectional chamfer: value + gradient wrt the frame cloud.
+    def f_sharded(fr):
+        return chamfer_distance_map_sharded(
+            mesh, fr, map_sh, n_frame=n_q, n_map=n_map
+        )
+
+    def f_ref(fr):
+        return pts.chamfer_distance(fr, map_pts, n_a=n_q, n_b=n_map)
+
+    v_s, g_s = jax.value_and_grad(f_sharded)(frame)
+    v_r, g_r = jax.value_and_grad(f_ref)(frame)
+    np.testing.assert_allclose(float(v_s), float(v_r), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_r),
+                               rtol=1e-5, atol=1e-6)
