@@ -67,6 +67,11 @@ def _probe_backend(timeout_s: int = 300) -> str | None:
 def run_bench():
     import jax
 
+    # The axon plugin ignores the JAX_PLATFORMS env var; a CPU smoke run
+    # must pin the platform via config or a dead tunnel blocks device init.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     from e2eslam_tpu.config import (
         default_config_path,
         enable_compilation_cache,

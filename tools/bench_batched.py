@@ -112,7 +112,16 @@ def main():
     ap.add_argument("--b", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--seq-len", type=int, default=60)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--hw", type=int, nargs=2, default=[256, 320],
+                    metavar=("H", "W"),
+                    help="frame size; shrink (e.g. --hw 64 64) to validate "
+                         "the code path on CPU — MFU is meaningless there")
     args = ap.parse_args()
+
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var and blocks on a
+    # dead tunnel; CPU validation runs must pin the platform via config.
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from e2eslam_tpu.config import (
         default_config_path,
@@ -124,7 +133,7 @@ def main():
     cfg = load_yaml(default_config_path())
     # Flagship knobs (bench.py): index fusion/assoc, quality gates, bf16.
     cfg.DATA.name = "synthetic"
-    cfg.DATA.height, cfg.DATA.width = 256, 320
+    cfg.DATA.height, cfg.DATA.width = args.hw
     cfg.DEMO.sequence_length = args.seq_len
     cfg.DEMO.frame_threshold = 0.03
     cfg.OPTIMIZATION.refinement_steps = 3
@@ -145,7 +154,7 @@ def main():
 
     results = []
     for b in args.b:
-        seqs = make_sequences(b, args.seq_len, 256, 320)
+        seqs = make_sequences(b, args.seq_len, *args.hw)
         rec = bench_one(cfg, b, seqs, runs=args.runs)
         print(json.dumps(rec), flush=True)
         results.append(rec)

@@ -73,28 +73,46 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", nargs="*", default=[],
                     choices=["three3d", "chamfer"])
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes (64x64, short sequences, 1 run) to "
+                         "validate the code path on CPU before burning a "
+                         "TPU tunnel window; numbers are meaningless")
     args = ap.parse_args()
+
+    # The axon TPU plugin ignores the JAX_PLATFORMS env var and blocks on
+    # a dead tunnel; CPU smoke runs must pin the platform via config BEFORE
+    # the backend initializes.
+    if args.smoke or os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from e2eslam_tpu.config import enable_compilation_cache
 
     enable_compilation_cache()
 
+    runs = 1 if args.smoke else 2
+
     if "three3d" not in args.skip:
         cfg = base_cfg()
         cfg.DATA.dilation = 2
-        cfg.DEMO.sequence_length = 60
+        cfg.DEMO.sequence_length = 6 if args.smoke else 60
         cfg.DEMO.frame_threshold = 0.03
         cfg.LOSS.three3d_loss = True
-        run_row(cfg, "exact_three3d_brute_1x1")
+        if args.smoke:
+            cfg.DATA.height, cfg.DATA.width = 64, 64
+        run_row(cfg, "exact_three3d_brute_1x1", runs=runs)
 
     if "chamfer" not in args.skip:
         cfg = base_cfg()
         cfg.DATA.dilation = 5
-        cfg.DEMO.sequence_length = 40
+        cfg.DEMO.sequence_length = 6 if args.smoke else 40
         cfg.DEMO.frame_threshold = 0.12
         cfg.LOSS.three3d_loss = False
         cfg.LOSS.chamfer_distance = True
-        run_row(cfg, "tum_chamfer_brute_1x1")
+        if args.smoke:
+            cfg.DATA.height, cfg.DATA.width = 64, 64
+        run_row(cfg, "tum_chamfer_brute_1x1", runs=runs)
 
 
 if __name__ == "__main__":

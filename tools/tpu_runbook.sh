@@ -50,6 +50,12 @@ run_step 1 bench        2400 python bench.py
 run_step 2 exact        3600 python tools/bench_exact.py
 run_step 3 batched      3600 python tools/bench_batched.py
 run_step 4 alignment    5400 python tools/ablate_alignment.py --full
-run_step 5 hardmode     3600 python tools/bench_hardmode.py
+# Step 5 runs the DECISIVE hard-mode point (0.65/0.25 — the setting where
+# three3d ON beats OFF, BASELINE.md hard-mode table) with the round-3 final
+# knobs + texgate rows; step 6 measures the texgate on the EASY scene
+# (frac 0, jitter 0), where its payoff claim lives (can it close the
+# 0.077-vs-0.060 easy-scene gap by gating 3D residuals off textured pixels).
+run_step 5 hardmode     3600 python tools/bench_hardmode.py --frac 0.65 --jitter 0.25
+run_step 6 easytexgate  3600 python tools/bench_hardmode.py --frac 0 --jitter 0 --skip-revisit
 
 echo "runbook complete; logs in $LOGDIR"
