@@ -23,7 +23,13 @@ EOF
     echo "watchdog: TPU up at $(date -u +%F'T'%T) — running runbook" >>"$LOG"
     bash tools/tpu_runbook.sh >>"$LOG" 2>&1
     echo "watchdog: runbook finished at $(date -u +%F'T'%T)" >>"$LOG"
-    exit 0
+    # If the tunnel flapped mid-runbook some steps carry RUNBOOK_FAIL —
+    # keep probing and re-run (completed steps are skipped by their logs).
+    if ! grep -lq "RUNBOOK_FAIL" tools/runbook_logs/*.log 2>/dev/null; then
+      echo "watchdog: all steps clean — exiting" >>"$LOG"
+      exit 0
+    fi
+    echo "watchdog: failed steps remain — resuming probe loop" >>"$LOG"
   fi
   echo "watchdog: probe failed at $(date -u +%F'T'%T), sleeping ${PROBE_INTERVAL}s" >>"$LOG"
   sleep "$PROBE_INTERVAL"
