@@ -142,15 +142,23 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
                 )
 
                 if rs == 0:
-                    tgt = np.asarray(jax.device_get(pair.colors))
+                    # Window frames are time-ascending and the refined
+                    # TARGET is index 1 (engine/refine.py:63) — label the
+                    # dumps accordingly.
+                    from e2eslam_tpu.engine.refine import TARGET
+
+                    frames = np.asarray(jax.device_get(pair.colors))
                     save_rgb(
                         f"{config.DEBUG.plot_path}/iter{it:04d}_step{rs}_tF.png",
-                        tgt[0],
+                        frames[TARGET],
                     )
-                    for s in range(1, tgt.shape[0]):
+                    srcs = [
+                        s for s in range(frames.shape[0]) if s != TARGET
+                    ]
+                    for n, s in enumerate(srcs, start=1):
                         save_rgb(
-                            f"{config.DEBUG.plot_path}/iter{it:04d}_step{rs}_sF{s}.png",
-                            tgt[s],
+                            f"{config.DEBUG.plot_path}/iter{it:04d}_step{rs}_sF{n}.png",
+                            frames[s],
                         )
                 if rs % plot_interval == 0 and "debug_images" in m:
                     dump_debug_images(

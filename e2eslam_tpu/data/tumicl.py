@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import glob
 import os
+import threading
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -91,6 +92,9 @@ class _RGBDDiskDataset:
     ):
         self.height, self.width = height, width
         self.seqlen = seqlen
+        # Guards _frame_cache: prefetch_batches may run several decode
+        # worker threads over the SAME dataset (data/pipeline.py).
+        self._cache_lock = threading.Lock()
 
         self.rgb_files: List[str] = []
         self.depth_files: List[str] = []
@@ -148,11 +152,25 @@ class _RGBDDiskDataset:
     def _decoded_frames(self, idxs):
         """Decode+resize frames with a bounded FIFO cache: overlapping
         windows (stride < seqlen, the default) would otherwise re-decode
-        every PNG ~seqlen times."""
+        every PNG ~seqlen times.
+
+        Thread-safe for concurrent callers (prefetch_batches runs several
+        decode workers over one dataset): cache reads/writes happen under
+        the lock; decoding happens outside it (the native loader has its
+        own thread pool), so the worst contention cost is a duplicate
+        decode of a frame two workers miss simultaneously. The returned
+        rows are snapshotted before any later eviction can drop them.
+        """
         cache = getattr(self, "_frame_cache", None)
         if cache is None:
-            cache = self._frame_cache = {}
-        missing = [k for k in idxs if k not in cache]
+            with self._cache_lock:
+                cache = self._frame_cache = getattr(
+                    self, "_frame_cache", None
+                ) or {}
+        with self._cache_lock:
+            hit = {k: cache[k] for k in idxs if k in cache}
+        missing = [k for k in idxs if k not in hit]
+        local = {}
         if missing:
             from e2eslam_tpu.data.native_loader import load_rgbd_batch
 
@@ -165,7 +183,7 @@ class _RGBDDiskDataset:
             )
             if native is not None:
                 for j, k in enumerate(missing):
-                    cache[k] = (native[0][j], native[1][j])
+                    local[k] = (native[0][j], native[1][j])
             else:
                 for k in missing:
                     c = _load_image(
@@ -176,16 +194,19 @@ class _RGBDDiskDataset:
                         self.depth_files[k], self.height, self.width,
                         nearest=True,
                     ).astype(np.float32)[..., None] / self.depth_scale
-                    cache[k] = (c, d)
-            needed = set(idxs)
-            for k in list(cache):
-                if len(cache) <= self._CACHE_FRAMES:
-                    break
-                if k not in needed:
-                    cache.pop(k)
+                    local[k] = (c, d)
+            with self._cache_lock:
+                cache.update(local)
+                needed = set(idxs)
+                for k in list(cache):
+                    if len(cache) <= self._CACHE_FRAMES:
+                        break
+                    if k not in needed:
+                        cache.pop(k, None)
+        frames = {**hit, **local}
         return (
-            np.stack([cache[k][0] for k in idxs]),
-            np.stack([cache[k][1] for k in idxs]),
+            np.stack([frames[k][0] for k in idxs]),
+            np.stack([frames[k][1] for k in idxs]),
         )
 
     def __getitem__(self, i: int):

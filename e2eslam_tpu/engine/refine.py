@@ -520,10 +520,9 @@ class RefinementEngine:
                         w3 = w3 * (d2r < float(dgate) ** 2).astype(w3.dtype)
                     if L.get("three3d_conf_weight", False):
                         w3 = w3 * jnp.minimum(nn_rows[:, 9], 4.0) * 0.25
-                    d2n = d2r * w3 if tex is None else d2r * w3 * tex
-                    knn_l = gate * (
-                        jnp.sum(d2n) / jnp.maximum(jnp.sum(w3), 1.0)
-                    )
+                    # Same shared reduction as every other backend (d2 is
+                    # recomputed inside; XLA CSEs it against d2r above).
+                    knn_l = gate * _masked_point_loss(pts, nn, w3, scale=tex)
                 elif impl == "projective":
                     # TPU-native O(N_map) association: project the map onto
                     # the target frame instead of brute-force KNN (see

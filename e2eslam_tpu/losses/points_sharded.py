@@ -31,6 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from e2eslam_tpu.losses.points import _masked_mean
 from e2eslam_tpu.ops.knn import knn
+from e2eslam_tpu.ops.knn_sharded import knn_map_sharded
 
 Array = jax.Array
 
@@ -51,71 +52,25 @@ def nn_map_sharded(
     ``(idx [Nq] int32, win_pts [Nq, 3], win_aux [Nq, C] or None)`` — the
     global row index, coordinates, and optional auxiliary row (e.g. map
     colors) of each query's nearest valid map point, replicated across the
-    mesh. Shards gather their local winners BEFORE the combine, so the
-    sharded buffers are never gathered wholesale.
+    mesh. Thin wrapper over ``ops.knn_sharded.knn_map_sharded`` (the single
+    implementation of the per-shard search + combine).
     """
-    Nr = map_pts.shape[0]
-    D = mesh.shape[axis]
-    if Nr % D != 0:
-        raise ValueError(
-            f"map rows ({Nr}) must divide the '{axis}' mesh axis size ({D})"
-        )
-    S = Nr // D
-    n_map = jnp.asarray(Nr if n_map is None else n_map, jnp.int32).reshape(1)
-    nq_in = (
-        None
-        if n_query is None
-        else jnp.asarray(n_query, jnp.int32).reshape(1)
+    out = knn_map_sharded(
+        mesh,
+        jax.lax.stop_gradient(query),
+        jax.lax.stop_gradient(map_pts),
+        n_map,
+        n_query,
+        axis=axis,
+        with_points=True,
+        aux=None if aux is None else jax.lax.stop_gradient(aux),
     )
-    q_sg = jax.lax.stop_gradient(query)
-    has_aux = aux is not None
-
-    def local(q, r, a, nr_g, nq_g):
-        k = jax.lax.axis_index(axis)
-        offset = k * S
-        nr_local = jnp.clip(nr_g[0] - offset, 0, S)
-        d2, idx = knn(q, r, nr_local, None if nq_g is None else nq_g[0])
-        pts = jnp.take(r, idx, axis=0)                     # local winners
-        aux_w = jnp.take(a, idx, axis=0) if has_aux else None
-        idx = idx + offset
-        d2 = jnp.where(nr_local > 0, d2, jnp.inf)
-        all_d = jax.lax.all_gather(d2, axis)               # [D, Nq]
-        win = jnp.argmin(all_d, axis=0)                    # [Nq]
-
-        def pick(x):
-            g = jax.lax.all_gather(x, axis)                # [D, Nq, ...]
-            w = win.reshape((1, -1) + (1,) * (g.ndim - 2))
-            return jnp.take_along_axis(g, w, axis=0)[0]
-
-        out_aux = pick(aux_w) if has_aux else jnp.zeros((1,), jnp.float32)
-        return pick(idx), pick(pts), out_aux
-
-    in_specs = (P(), P(axis), P(axis) if has_aux else P(), P(), P())
-    fn = jax.shard_map(
-        lambda q, r, a, nr_g: local(q, r, a, nr_g, None),
-        mesh=mesh,
-        in_specs=in_specs[:4],
-        out_specs=(P(), P(), P()),
-        check_vma=False,
-    ) if nq_in is None else jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=in_specs,
-        out_specs=(P(), P(), P()),
-        check_vma=False,
-    )
-    a_in = (
-        jax.lax.stop_gradient(aux)
-        if has_aux
-        else jnp.zeros((Nr, 1), jnp.float32)
-    )
-    args = (q_sg, jax.lax.stop_gradient(map_pts), a_in, n_map)
-    out = fn(*args) if nq_in is None else fn(*args, nq_in)
-    idx, win_pts, win_aux = out
+    _, idx, win_pts = out[:3]
+    win_aux = out[3] if aux is not None else None
     return (
         jax.lax.stop_gradient(idx),
         jax.lax.stop_gradient(win_pts),
-        jax.lax.stop_gradient(win_aux) if has_aux else None,
+        jax.lax.stop_gradient(win_aux) if aux is not None else None,
     )
 
 

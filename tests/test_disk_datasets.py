@@ -203,3 +203,36 @@ def test_mini_icl_disk_sequence_end_to_end():
     abs_rels = [float(m["abs_rel"]) for m in result["metrics"]]
     assert abs_rels[0] < 0.45
     assert result["mean_abs_rel"] < 0.35
+
+
+def test_decoded_frame_cache_concurrent_access(tmp_path):
+    """Multi-threaded prefetch workers share one dataset: the decoded-frame
+    cache must tolerate concurrent decode/evict/read without KeyError and
+    return correct rows (cache capacity shrunk to force constant eviction)."""
+    import threading
+
+    _make_icl_fixture(str(tmp_path), n_frames=12, H=24, W=32)
+    ds = ICLDataset(str(tmp_path), seqlen=4, height=24, width=32, stride=1)
+    ds._CACHE_FRAMES = 4  # far below a window set -> every call evicts
+    expected = [ds[i] for i in range(len(ds))]
+    ds._frame_cache.clear()
+
+    errors = []
+
+    def worker(offset):
+        try:
+            for rep in range(3):
+                for i in range(len(ds)):
+                    j = (i + offset) % len(ds)
+                    colors, depths = ds._decoded_frames(ds.windows[j])
+                    np.testing.assert_array_equal(colors, expected[j][0])
+                    np.testing.assert_array_equal(depths, expected[j][1])
+        except Exception as e:  # noqa: BLE001 - collected for the assert
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(k,)) for k in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors

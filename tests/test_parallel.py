@@ -352,3 +352,26 @@ def test_points_losses_map_sharded_match_single_device():
     np.testing.assert_allclose(float(v_s), float(v_r), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_r),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_knn_map_sharded_on_2d_mesh():
+    """The 'map' axis composes with a 'data' axis: on a 2-D ('data','map')
+    mesh the ref shards over 'map' only (replicated over 'data') and results
+    still match the single-device search."""
+    from jax.sharding import Mesh
+    from e2eslam_tpu.ops.knn import knn_xla
+    from e2eslam_tpu.ops.knn_sharded import knn_map_sharded
+
+    rng = np.random.default_rng(7)
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("data", "map"))
+    Nq, Nr = 65, 2 * 96
+    nr = 96 + 33
+    query = jnp.asarray(rng.normal(size=(Nq, 3)), jnp.float32)
+    ref = jnp.asarray(rng.normal(size=(Nr, 3)), jnp.float32)
+
+    d2_s, idx_s = knn_map_sharded(mesh, query, ref, nr, axis="map")
+    d2_r, idx_r = knn_xla(query, ref, nr)
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_r))
+    np.testing.assert_allclose(np.asarray(d2_s), np.asarray(d2_r),
+                               rtol=1e-6, atol=1e-6)

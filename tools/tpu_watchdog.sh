@@ -25,7 +25,10 @@ EOF
     echo "watchdog: runbook finished at $(date -u +%F'T'%T)" >>"$LOG"
     # If the tunnel flapped mid-runbook some steps carry RUNBOOK_FAIL —
     # keep probing and re-run (completed steps are skipped by their logs).
-    if ! grep -lq "RUNBOOK_FAIL" tools/runbook_logs/*.log 2>/dev/null; then
+    # Only STEP logs ([0-9]*_name.log) count: watchdog.log itself receives
+    # the runbook's stdout, which tails failed-step logs and would
+    # otherwise match forever.
+    if ! grep -lq "RUNBOOK_FAIL" tools/runbook_logs/[0-9]*_*.log 2>/dev/null; then
       echo "watchdog: all steps clean — exiting" >>"$LOG"
       exit 0
     fi
