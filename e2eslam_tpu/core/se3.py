@@ -101,7 +101,17 @@ def se3_log(T: Array) -> Array:
     t = T[..., :3, 3]
     trace = jnp.trace(R, axis1=-2, axis2=-1)
     cos_theta = jnp.clip((trace - 1.0) / 2.0, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)[..., None, None]
+    # Double-where around arccos: at the clip boundaries d(arccos)/dx is
+    # -inf, and even a zero incoming cotangent (the Taylor branches below)
+    # would produce 0 * inf = NaN under jax.grad — e.g. for an EXACT
+    # identity pose (poses_to_transforms slot 0). Evaluate arccos on a
+    # safe interior value and select the boundary answer outside it.
+    sat_hi = cos_theta >= 1.0 - 1e-12
+    sat_lo = cos_theta <= -1.0 + 1e-12
+    safe_cos = jnp.where(sat_hi | sat_lo, 0.0, cos_theta)
+    theta = jnp.where(
+        sat_hi, 0.0, jnp.where(sat_lo, jnp.pi, jnp.arccos(safe_cos))
+    )[..., None, None]
     theta2 = theta * theta
 
     small = theta < 1e-4
@@ -119,9 +129,23 @@ def se3_log(T: Array) -> Array:
     # (1 - cos theta) * a a^T exactly (no antisymmetric contamination), so
     # its largest column is the axis. Sign from the antisymmetric part
     # (ambiguous at exactly pi — either sign is a valid log).
+    # Double-where on the branch INPUT: away from pi this branch's value is
+    # discarded, but norms of an exactly-zero Bp (R = I) still produce NaN
+    # in the backward pass (0-cotangent x inf). Substitute a fixed
+    # pi-rotation (diag(1,-1,-1), Bp = diag(2,0,0)) so the discarded
+    # branch stays finite in forward AND backward.
+    npb = near_pi[..., 0, 0]
+    R_safe = jnp.where(
+        npb[..., None, None],
+        R,
+        jnp.broadcast_to(
+            jnp.diag(jnp.asarray([1.0, -1.0, -1.0], dtype=T.dtype)), R.shape
+        ),
+    )
+    cos_safe = jnp.where(npb, cos_theta, -1.0)
     Bp = (
-        0.5 * (R + jnp.swapaxes(R, -1, -2))
-        - cos_theta[..., None, None]
+        0.5 * (R_safe + jnp.swapaxes(R_safe, -1, -2))
+        - cos_safe[..., None, None]
         * jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), R.shape)
     )
     norms = jnp.linalg.norm(Bp, axis=-2)  # [..., 3] column norms
@@ -185,10 +209,17 @@ def poses_to_transforms(poses: Array) -> Array:
 
 
 def camera_center(pose: Array) -> Array:
-    """Camera center ``C = -R^T t`` of extrinsics ``[..., 4, 4]`` -> ``[..., 3]``.
+    """Reference-parity keyframe "center" ``-R^T t`` — NOT the true center.
 
-    Mirrors the keyframe-distance computation of the reference
-    (``online_adaption.py:186-205``).
+    The reference applies the w2c-extrinsics center formula ``C = -R^T t``
+    to its CAM-TO-WORLD poses (compute_frame_distance,
+    ``online_adaption.py:186-205``); for c2w poses the true camera center
+    is simply ``t``. This repo's poses are c2w everywhere (rgbd.py:33), so
+    this function reproduces the reference's quirk verbatim for keyframe
+    -schedule parity ONLY — do not use it as a geometric camera center
+    (losses/trajectory.py uses ``t`` directly). The host-side scheduling
+    twin is ``engine/adaptation.py::_camera_centers`` (NumPy: keyframe
+    selection is host control flow).
     """
     R = pose[..., :3, :3]
     t = pose[..., :3, 3]

@@ -51,11 +51,16 @@ def knn_points_loss(
     """
     # The KNN search itself is non-differentiable (integral indices; the
     # Pallas kernel has no JVP rule) — sever tangents at the call and
-    # recompute distances differentiably below.
+    # recompute distances differentiably below. n_query is forwarded so
+    # the kernel skips query tiles past the valid prefix (fixed-capacity
+    # buffers: the map->frame chamfer direction scales with the map's
+    # ACTUAL size, not its capacity); results there are undefined and
+    # masked out by _masked_mean.
     _, idx = knn(
         jax.lax.stop_gradient(query_points),
         jax.lax.stop_gradient(gt_points),
         n_gt,
+        n_query,
     )
     idx = jax.lax.stop_gradient(idx)
     nn_pts = jnp.take(gt_points, idx, axis=0)

@@ -86,27 +86,21 @@ def _associate(
     H, W = frame.depth.shape[:2]
     HW = H * W
     N = state.data.shape[0]
-    K = frame.intrinsics
 
-    inv_pose = se3_inverse(frame.pose)
-    p_cam = transform_points(inv_pose, state.points)  # [N, 3]
-    z = p_cam[:, 2]
-    safe_z = jnp.where(jnp.abs(z) > 1e-8, z, 1e-8)
-    u = K[0, 0] * p_cam[:, 0] / safe_z + K[0, 2]
-    v = K[1, 1] * p_cam[:, 1] / safe_z + K[1, 2]
-    ui = jnp.round(u).astype(jnp.int32)
-    vi = jnp.round(v).astype(jnp.int32)
-
+    ui, vi, in_frame = _project_uv(
+        state.points, frame.pose, frame.intrinsics, H, W
+    )
     valid_idx = jnp.arange(N) < state.count
-    in_frame = (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H) & (z > 0) & valid_idx
+    in_frame = in_frame & valid_idx
     pix = jnp.clip(vi, 0, H - 1) * W + jnp.clip(ui, 0, W - 1)  # [N]
 
     v_live = jnp.take(live.points, pix, axis=0)  # [N, 3]
     m_live = jnp.take(live.mask, pix, axis=0)
     dist = jnp.linalg.norm(state.points - v_live, axis=-1)
     similar = in_frame & (m_live > 0) & (dist < dist_th)
+    n_live = None
     if angle_th is not None:
-        n_live = jnp.take(live.normals, pix, axis=0)
+        n_live = jnp.take(live.normals, pix, axis=0)  # rides along, see below
         ndot = jnp.sum(state.normals * n_live, axis=-1)
         similar = similar & (ndot > jnp.cos(jnp.deg2rad(angle_th)))
 
@@ -117,9 +111,11 @@ def _associate(
     idx_m = jnp.where(is_best, jnp.arange(N, dtype=jnp.int32), jnp.int32(N))
     best_idx = jnp.full((HW,), N, jnp.int32).at[pix].min(idx_m)
     winner = is_best & (jnp.arange(N, dtype=jnp.int32) == jnp.take(best_idx, pix))
-    # v_live rides along: pointfusion_step needs the same gather and row
-    # gathers are the profiled cost unit (~17 ns/row) — don't pay it twice.
-    return pix, dist, best_idx, winner, v_live
+    # v_live (and n_live when the angle test ran) ride along:
+    # pointfusion_step needs the same gathers and row gathers are the
+    # profiled cost unit (~17 ns/row) — don't pay them twice. n_live is
+    # None when angle_th is None (projective_nn: no normals needed).
+    return pix, dist, best_idx, winner, v_live, n_live
 
 
 def _window_view(state: MapState, window: int):
@@ -158,7 +154,7 @@ def projective_nn(state: MapState, frame: RGBDFrame, *, active_window=None):
     if active_window is not None and active_window < state.data.shape[0]:
         start, state = _window_view(state, int(active_window))
     live = frame_pointcloud(frame)
-    _, _, best_idx, _, _ = _associate(
+    _, _, best_idx, _, _, _ = _associate(
         state, frame, live, dist_th=jnp.inf, angle_th=None
     )
     N = state.data.shape[0]
@@ -437,10 +433,11 @@ def pointfusion_step(
     live = frame_pointcloud(frame)
     alpha = _pixel_alpha(H, W, K, sigma) * live.mask  # [HW]
 
-    pix, dist, best_idx, winner, v_live = _associate(
+    pix, dist, best_idx, winner, v_live, n_live = _associate(
         sub, frame, live, dist_th=dist_th, angle_th=angle_th
     )
-    n_live = jnp.take(live.normals, pix, axis=0)
+    if n_live is None:  # angle test skipped -> gather normals here instead
+        n_live = jnp.take(live.normals, pix, axis=0)
 
     # ---- 4. confidence-weighted in-place fusion of winners --------------
     a = jnp.take(alpha, pix)  # live confidence seen by each candidate point

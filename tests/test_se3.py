@@ -114,3 +114,24 @@ def test_log_stable_near_pi():
             assert abs(w_mag - min(mag, np.pi)) < 1e-3, (mag, w_mag)
             T2 = np.asarray(se3_exp(xi2))
             assert np.abs(np.asarray(T) - T2).max() < 5e-4, mag
+
+
+def test_se3_log_gradient_finite_everywhere():
+    """jax.grad through se3_log must be finite at the exact identity
+    (poses_to_transforms slot 0), at generic rotations, and near pi —
+    the arccos boundary and the zero-matrix near-pi branch both need
+    double-where guards (round-3 review finding)."""
+    f = lambda T: jnp.sum(se3_log(T) ** 2)  # noqa: E731
+
+    for xi in (
+        jnp.zeros(6, jnp.float32),                                # identity
+        jnp.asarray([0.1, -0.2, 0.3, 0.4, 0.5, -0.6], jnp.float32),
+        jnp.asarray([0.0, 0.0, 0.0, 3.13, 0.05, 0.0], jnp.float32),  # ~pi
+    ):
+        T = se3_exp(xi)
+        g = jax.grad(f)(T)
+        assert bool(jnp.all(jnp.isfinite(g))), (xi, g)
+    # exact identity matrix, not just exp(0)
+    g = jax.grad(f)(jnp.eye(4))
+    assert bool(jnp.all(jnp.isfinite(g)))
+    np.testing.assert_array_equal(np.asarray(se3_log(jnp.eye(4))), 0.0)

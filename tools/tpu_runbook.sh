@@ -46,6 +46,7 @@ if ! timeout 120 python -c "import jax; d=jax.devices(); assert d[0].platform=='
 fi
 echo "TPU up — running queued benches"
 
+run_step 0 knncheck      900 python tools/knn_tpu_check.py
 run_step 1 bench        2400 python bench.py
 run_step 2 exact        3600 python tools/bench_exact.py
 run_step 3 batched      3600 python tools/bench_batched.py
