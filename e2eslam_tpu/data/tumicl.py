@@ -164,9 +164,9 @@ class _RGBDDiskDataset:
         cache = getattr(self, "_frame_cache", None)
         if cache is None:
             with self._cache_lock:
-                cache = self._frame_cache = getattr(
-                    self, "_frame_cache", None
-                ) or {}
+                if getattr(self, "_frame_cache", None) is None:
+                    self._frame_cache = {}
+                cache = self._frame_cache
         with self._cache_lock:
             hit = {k: cache[k] for k in idxs if k in cache}
         missing = [k for k in idxs if k not in hit]

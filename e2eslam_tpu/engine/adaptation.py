@@ -122,28 +122,13 @@ class OnlineAdaptation:
         state = jax.tree_util.tree_map(jnp.copy, self.state)
 
         # Optional voxel-hash index accelerating the 3D loss's KNN
-        # (LOSS.knn_impl: voxel); rebuilt after every map update.
+        # (LOSS.knn_impl: voxel); rebuilt after every map update. "projective"
+        # needs no precomputed index (see RefinementEngine.build_map_index).
         knn_impl = str(cfg.LOSS.get("knn_impl", "brute"))
-        voxel_size = float(cfg.LOSS.get("voxel_size", 0.1))
-        table_size = 1 << int(cfg.LOSS.get("voxel_table_pow", 20))
-
-        # knn_impl == "projective" needs no precomputed index: association is
-        # recomputed inside each refinement step from the step's own predicted
-        # (scaled) depth — matching the reference's per-step KNN on the
-        # predicted cloud (online_adaption.py:457-471). GT depth never steers
-        # the loss's data association.
-        def rebuild_index(m):
-            if knn_impl != "voxel":
-                return None
-            from e2eslam_tpu.ops.voxel_knn import build_voxel_index
-
-            return build_voxel_index(
-                m.points, m.count, voxel_size, table_size=table_size
-            )
 
         # Build the (empty) index up front so the jitted step sees ONE pytree
         # structure — avoids a second compilation when the index appears.
-        map_index = rebuild_index(global_map)
+        map_index = self.engine.build_map_index(global_map)
         rng = jax.random.key(1)
         first_iter = True
 
@@ -259,7 +244,7 @@ class OnlineAdaptation:
                 global_map, est_pose = self.engine.fuse_pair(
                     state, fuse_batch, global_map, fuse_prev=first_iter
                 )
-                map_index = rebuild_index(global_map)
+                map_index = self.engine.build_map_index(global_map)
             first_iter = False
             kf_hist.append(frame)
             keyframes.append(frame)

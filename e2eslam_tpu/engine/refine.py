@@ -97,6 +97,20 @@ class RefineState(NamedTuple):
     step: Array  # [] int32
 
 
+def gather_pair(colors, gt_depths, K, poses, prev_i, cur_i) -> PairBatch:
+    """Assemble a 2-frame window by (traced) frame-index gather.
+
+    THE single copy of the schedule->window gather used by both the
+    whole-sequence fast path and the parallel multi-sequence runner."""
+    idx = jnp.stack([prev_i, cur_i])
+    return PairBatch(
+        colors=jnp.take(colors, idx, axis=0),
+        gt_depths=jnp.take(gt_depths, idx, axis=0),
+        intrinsics=K,
+        poses=jnp.take(poses, idx, axis=0),
+    )
+
+
 
 def _masked_point_loss(pts, nn, w, scale=None):
     """Weighted mean squared point distance: sum(w * |pts-nn|^2) / max(sum w, 1).
@@ -826,6 +840,29 @@ class RefinementEngine:
 
         return step
 
+    def build_map_index(self, map_state: MapState):
+        """Build the configured 3D-loss acceleration index over a map.
+
+        Returns a ``VoxelIndex`` for ``LOSS.knn_impl: voxel`` and ``None``
+        otherwise. "projective" deliberately returns None: its association
+        is recomputed INSIDE every refinement step from the CURRENT
+        predicted (scaled) depth (see _assemble_losses' projective branch,
+        which builds the frame from the step's own depth). This matches the
+        reference, whose KNN association runs fresh per step on the
+        predicted cloud (online_adaption.py:457-471) — GT depth never steers
+        the loss's data association (VERDICT r1 item 3); it is used only for
+        median scaling and metrics."""
+        if str(self.config.LOSS.get("knn_impl", "brute")) != "voxel":
+            return None
+        from e2eslam_tpu.ops.voxel_knn import build_voxel_index
+
+        return build_voxel_index(
+            map_state.points,
+            map_state.count,
+            float(self.config.LOSS.get("voxel_size", 0.1)),
+            table_size=1 << int(self.config.LOSS.get("voxel_table_pow", 20)),
+        )
+
     # ------------------------------------------------------------------
     # Fused whole-keyframe processing: association + R refinement steps
     # (lax.scan) + fusion in ONE XLA program. One device dispatch per
@@ -837,33 +874,10 @@ class RefinementEngine:
         R = int(cfg.OPTIMIZATION.refinement_steps)
         step = self._make_pft_step()
         fuse = self._make_fuse_pair()
-        knn_impl = str(cfg.LOSS.get("knn_impl", "brute"))
-        aw = cfg.MODEL.get("active_window")
-        aw = int(aw) if aw else None
-
-        voxel_size = float(cfg.LOSS.get("voxel_size", 0.1))
-        table_size = 1 << int(cfg.LOSS.get("voxel_table_pow", 20))
 
         def process(state: RefineState, pair: PairBatch, map_state: MapState,
                     rng, *, fuse_prev: bool):
-            map_index = None
-            if knn_impl == "projective":
-                # No precomputed index: the association is recomputed INSIDE
-                # every refinement step from the CURRENT predicted (scaled)
-                # depth (see _assemble_losses' projective branch, which
-                # builds the frame from the step's own depth). This matches
-                # the reference, whose KNN association runs fresh per step on
-                # the predicted cloud (online_adaption.py:457-471) — GT depth
-                # never steers the loss's data association (VERDICT r1 item
-                # 3); it is used only for median scaling and metrics.
-                pass
-            elif knn_impl == "voxel":
-                from e2eslam_tpu.ops.voxel_knn import build_voxel_index
-
-                map_index = build_voxel_index(
-                    map_state.points, map_state.count, voxel_size,
-                    table_size=table_size,
-                )
+            map_index = self.build_map_index(map_state)
 
             state = state._replace(step=jnp.zeros((), jnp.int32))
 
@@ -899,15 +913,6 @@ class RefinementEngine:
     # ------------------------------------------------------------------
     def _make_process_sequence(self):
         process = self._make_process_pair()
-
-        def gather_pair(colors, gt_depths, K, poses, prev_i, cur_i):
-            idx = jnp.stack([prev_i, cur_i])
-            return PairBatch(
-                colors=jnp.take(colors, idx, axis=0),
-                gt_depths=jnp.take(gt_depths, idx, axis=0),
-                intrinsics=K,
-                poses=jnp.take(poses, idx, axis=0),
-            )
 
         def process_sequence(state: RefineState, map_state: MapState,
                              colors, gt_depths, K, poses,
@@ -998,12 +1003,16 @@ class RefinementEngine:
                 )
             )
             opt_state = self.optimizer.init(depths)
+            # Same index treatment as the PFT fast path: without it a
+            # configured LOSS.knn_impl: voxel silently fell back to the
+            # brute-force KNN for every OFT step.
+            map_index = self.build_map_index(map_state)
 
             def body(carry, _):
                 d, os, key = carry
                 key, sub = jax.random.split(key)
-                d, os, metrics = step(d, os, initial, pair, map_state, None,
-                                      sub)
+                d, os, metrics = step(d, os, initial, pair, map_state,
+                                      map_index, sub)
                 return (d, os, key), metrics
 
             (depths, _, _), metrics = jax.lax.scan(

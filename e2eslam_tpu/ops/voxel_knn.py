@@ -128,13 +128,3 @@ def voxel_knn(
     found = jnp.isfinite(best_d)
     orig = jnp.take(index.sorted_to_orig, best_i)
     return jnp.where(found, best_d, 0.0), orig, found
-
-
-def empty_voxel_index(capacity: int, table_size: int = 1 << 20, voxel_size=0.1) -> VoxelIndex:
-    """An index over zero points (all buckets empty)."""
-    return VoxelIndex(
-        sorted_points=jnp.zeros((capacity, 3), jnp.float32),
-        sorted_to_orig=jnp.zeros((capacity,), jnp.int32),
-        bucket_start=jnp.zeros((table_size + 1,), jnp.int32),
-        voxel_size=jnp.asarray(voxel_size, jnp.float32),
-    )

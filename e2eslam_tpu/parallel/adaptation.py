@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from e2eslam_tpu.engine.adaptation import keyframe_schedule  # noqa: F401
-from e2eslam_tpu.engine.refine import PairBatch, RefineState
+from e2eslam_tpu.engine.refine import RefineState, gather_pair
 from e2eslam_tpu.parallel.mesh import (
     ParallelRefinement,
     make_mesh,
@@ -63,15 +63,6 @@ class ParallelAdaptation:
         step = engine._make_pft_step()
         fuse = engine._make_fuse_pair()
         R = self.R
-
-        def gather_pair(colors, depths, K, poses, prev_i, cur_i):
-            idx = jnp.stack([prev_i, cur_i])
-            return PairBatch(
-                colors=jnp.take(colors, idx, axis=0),
-                gt_depths=jnp.take(depths, idx, axis=0),
-                intrinsics=K,
-                poses=jnp.take(poses, idx, axis=0),
-            )
 
         # Whole-run program: the full ragged multi-sequence loop (scan over
         # padded event schedules, masked commits) in ONE XLA dispatch.
