@@ -313,6 +313,12 @@ class RefinementEngine:
                     padding_mode=cfg.MODEL.padding_mode, align_corners=False,
                 )
                 outputs[("interpolated_depth", src)] = interp
+                # REFERENCE PARITY (online_adaption.py:431-439): with the
+                # geometric loss on, the reference samples the COLOR warp
+                # with align_corners=True while depth uses False (and the
+                # non-geometric branch colors use False, :450-453). The
+                # half-pixel inconsistency is the reference's, kept so loss
+                # values match.
                 synth = grid_sample(
                     pair.colors[src][None], grid,
                     padding_mode=cfg.MODEL.padding_mode, align_corners=True,

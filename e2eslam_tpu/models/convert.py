@@ -129,15 +129,26 @@ def convert_torch_state_dict(
     batch_stats,
     *,
     strict: bool = True,
+    expect_full: bool = False,
 ):
     """Fill flax ``params`` / ``batch_stats`` pytrees from a torch state dict.
 
     Leaves with no matching torch key keep their initialized values when
     ``strict=False`` (partial merge, as the reference's ``load_model`` does
     for per-module checkpoints); with ``strict=True`` a miss is an error.
+
+    Non-strict loads are guarded against SILENT no-ops: if the state dict
+    matches zero model leaves (wrong/corrupt file — the run would proceed on
+    random init and produce garbage depth) a warning is emitted; with
+    ``expect_full=True`` (full-model checkpoints, e.g. the indoor
+    ``depth.pth.tar``) any missed leaf warns with a sample of the paths.
     """
+    import warnings
+
     torch_sd = _canonicalize(state_dict)
     used = set()
+    missed_paths = []
+    matched = [0]
 
     def fill(tree, collection):
         flat = jax.tree_util.tree_flatten_with_path(tree)[0]
@@ -152,16 +163,19 @@ def convert_torch_state_dict(
             except KeyError:
                 if strict:
                     raise
+                missed_paths.append(path)
                 new_leaves.append(leaf)
                 continue
             if tkey in torch_sd:
                 used.add(tkey)
+                matched[0] += 1
                 new_leaves.append(
                     _convert_leaf(torch_sd[tkey], path[-1], leaf.shape)
                 )
             else:
                 if strict:
                     raise KeyError(f"missing torch key {tkey} for flax path {path}")
+                missed_paths.append(path)
                 new_leaves.append(leaf)
         return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
@@ -172,17 +186,33 @@ def convert_torch_state_dict(
         unused = set(torch_sd) - used
         if unused:
             raise KeyError(f"unconsumed torch keys: {sorted(unused)[:8]} ...")
+    elif matched[0] == 0 and torch_sd:
+        warnings.warn(
+            "checkpoint matched 0 model leaves (of "
+            f"{len(missed_paths)}); the model stays at its random "
+            "initialization — wrong or corrupt checkpoint file?"
+        )
+    elif expect_full and missed_paths:
+        sample = ["/".join(p) for p in missed_paths[:5]]
+        warnings.warn(
+            f"full-model checkpoint left {len(missed_paths)} leaves at "
+            f"initialization (e.g. {sample}); the file may be stale or "
+            "from a different architecture"
+        )
     return new_params, new_stats
 
 
-def load_torch_checkpoint(path: str, params, batch_stats, *, strict: bool = False):
+def load_torch_checkpoint(path: str, params, batch_stats, *, strict: bool = False,
+                          expect_full: bool = False):
     """Load a ``.pth`` / ``.pth.tar`` file and convert it (needs torch)."""
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict) and "state_dict" in ckpt:
         ckpt = ckpt["state_dict"]
-    return convert_torch_state_dict(ckpt, params, batch_stats, strict=strict)
+    return convert_torch_state_dict(
+        ckpt, params, batch_stats, strict=strict, expect_full=expect_full
+    )
 
 
 def load_monodepth2_modules(
@@ -249,9 +279,12 @@ def load_depth_weights(config, params, batch_stats):
 
     if M.get("use_pretrained_models") and M.get("load_depth_path"):
         if str(M.get("depth_network", "indoor")) == "indoor":
+            # A full-model checkpoint (reference train_depth.py:824-845);
+            # expect_full makes any unmatched leaf warn instead of the
+            # torch-strict raise (legit exports may omit BN num_batches).
             params, batch_stats = load_torch_checkpoint(
                 os.path.join(M.load_depth_path, "depth.pth.tar"),
-                params, batch_stats,
+                params, batch_stats, expect_full=True,
             )
         else:
             # Precedence: an EXPLICIT MODEL.models_to_load wins (it is only

@@ -133,3 +133,46 @@ def test_ply_export_and_logger(tmp_path):
 
     hists = gradient_histograms({"layer": jnp.ones((8, 8))})
     assert "layer" in hists and hists["layer"]["norm"] == pytest.approx(8.0)
+
+
+def test_converter_warns_on_zero_match():
+    """A non-strict load that matches NOTHING must warn (wrong/corrupt
+    checkpoint would otherwise silently leave the model at random init)."""
+    import warnings
+
+    from e2eslam_tpu.models.convert import convert_torch_state_dict
+
+    params = {"decoder": {"dispconv_0": {"kernel": jnp.zeros((3, 3, 1, 1)),
+                                         "bias": jnp.zeros((1,))}}}
+    sd = {"totally.unrelated.weight": np.zeros((1,), np.float32)}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        convert_torch_state_dict(sd, params, None, strict=False)
+    assert any("matched 0" in str(x.message) for x in w), [str(x.message) for x in w]
+
+
+def test_converter_expect_full_warns_on_partial():
+    import warnings
+
+    from e2eslam_tpu.models.convert import convert_torch_state_dict
+
+    params = {"decoder": {"dispconv_0": {"kernel": jnp.zeros((3, 3, 1, 1)),
+                                         "bias": jnp.zeros((1,))}}}
+    # torch layout [O, I, kh, kw]; bias deliberately missing
+    sd = {"decoder.10.conv.weight": np.ones((1, 1, 3, 3), np.float32)}
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out, _ = convert_torch_state_dict(sd, params, None, strict=False)
+    assert not w, [str(x.message) for x in w]  # partial merges stay silent
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out, _ = convert_torch_state_dict(
+            sd, params, None, strict=False, expect_full=True
+        )
+    assert any("left 1 leaves" in str(x.message) for x in w), \
+        [str(x.message) for x in w]
+    np.testing.assert_allclose(
+        np.asarray(out["decoder"]["dispconv_0"]["kernel"]).ravel(), 1.0
+    )

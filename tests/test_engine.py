@@ -349,3 +349,30 @@ def test_refinement_survives_corrupted_input(pair):
         assert np.isfinite(float(metrics["three3d"]))
     leaves = jax.tree_util.tree_leaves(state.params)
     assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+
+def test_oft_window_builds_voxel_index(pair, monkeypatch):
+    """Regression: LOSS.knn_impl=voxel must reach the OFT fast path too.
+
+    Before the shared build_map_index helper, _make_oft_window hardcoded
+    map_index=None, so a configured voxel index silently fell back to the
+    brute-force KNN on every OFT step."""
+    cfg = small_config(**{"LOSS.three3d_loss": True, "LOSS.knn_impl": "voxel"})
+    engine, state = _engine_and_state(cfg)
+
+    import e2eslam_tpu.ops.voxel_knn as vk
+
+    calls = []
+    real = vk.build_voxel_index
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(vk, "build_voxel_index", spy)
+
+    emap = empty_map(2 * H * W)
+    depths, metrics = engine.oft_window(state, pair, emap, jax.random.key(0))
+    assert calls, "OFT window must build the configured voxel index"
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert bool(jnp.isfinite(depths).all())
