@@ -16,7 +16,6 @@ from e2eslam_tpu.config import load_config
 from e2eslam_tpu.data.pipeline import load_batch, make_dataset
 from e2eslam_tpu.engine.refine import PairBatch, RefinementEngine
 from e2eslam_tpu.models.depth_net import init_depth_model, make_depth_model
-from e2eslam_tpu.slam.pointclouds import empty_map
 
 
 def train_scale(config, *, dataset=None, max_windows=None, verbose=True):
@@ -34,17 +33,17 @@ def train_scale(config, *, dataset=None, max_windows=None, verbose=True):
     # Scale learning disables other depth scaling (the scale IS the subject).
     cfg = config.copy()
     cfg.ABLATION.scaled_depth = False
+    # The dummy map below stays empty for the whole run, so the 3D losses
+    # are gated to exactly zero (value AND gradient) — disable them so the
+    # per-step association/KNN work against the empty buffer is not even
+    # compiled (the reference trains the scale with view synthesis only).
+    cfg.LOSS.three3d_loss = False
+    cfg.LOSS.knn_points = False
+    cfg.LOSS.chamfer_distance = False
     capacity = len(frames) * H * W
     engine = RefinementEngine(cfg, model, map_capacity=capacity)
     state = engine.init_state(params, batch_stats, (len(frames), H, W))
-    needs_index = (
-        str(cfg.MODEL.get("fusion_impl", "scatter")) == "index"
-        or str(cfg.LOSS.get("knn_impl", "brute")) == "index"
-    )
-    dummy_map = empty_map(
-        capacity, index_hw=H * W if needs_index else None,
-        index_levels=int(cfg.MODEL.get("index_levels", 1) or 1),
-    )
+    dummy_map = engine.make_empty_map()
 
     use_bias = bool(config.ABLATION.get("with_bias", False))
     grid = list(config.get("SCALE_GRID_SEARCH", {}).get("grid", [0.5]))

@@ -19,7 +19,6 @@ from e2eslam_tpu.config import load_config
 from e2eslam_tpu.data.pipeline import load_batch, make_dataset
 from e2eslam_tpu.engine.refine import PairBatch, RefinementEngine
 from e2eslam_tpu.models.depth_net import init_depth_model, make_depth_model
-from e2eslam_tpu.slam.pointclouds import empty_map
 
 DUMP_EVERY = 6
 
@@ -40,17 +39,18 @@ def evaluate(config, *, dataset=None, max_windows=None, verbose=True):
 
     params, batch_stats = load_depth_weights(cfg, params, batch_stats)
 
+    # The dummy map below stays empty for the whole run, so the 3D losses
+    # are gated to exactly zero (value AND gradient) — disable them so the
+    # per-step association/KNN work against the empty buffer is not even
+    # compiled (this script evaluates the constant affine scaling under the
+    # photometric refinement, reference test_depth_scaling.py).
+    cfg.LOSS.three3d_loss = False
+    cfg.LOSS.knn_points = False
+    cfg.LOSS.chamfer_distance = False
     capacity = len(frames) * H * W
     engine = RefinementEngine(cfg, model, map_capacity=capacity)
     state = engine.init_state(params, batch_stats, (len(frames), H, W))
-    needs_index = (
-        str(cfg.MODEL.get("fusion_impl", "scatter")) == "index"
-        or str(cfg.LOSS.get("knn_impl", "brute")) == "index"
-    )
-    dummy_map = empty_map(
-        capacity, index_hw=H * W if needs_index else None,
-        index_levels=int(cfg.MODEL.get("index_levels", 1) or 1),
-    )
+    dummy_map = engine.make_empty_map()
     plot_dir = cfg.DEBUG.get("plot_path") or "."
 
     rng = jax.random.key(3)
@@ -77,10 +77,13 @@ def evaluate(config, *, dataset=None, max_windows=None, verbose=True):
                 # Dump the SCALED depth the metrics are computed on — this
                 # script's whole purpose is evaluating the constant affine
                 # scaling; raw network depth would be off by ~the learned
-                # scale (e.g. 6.09 for ICL).
-                depth = depth * float(cfg.ABLATION.scaling_depth)
-                if cfg.ABLATION.get("with_bias", False):
-                    depth = depth + float(cfg.ABLATION.get("scaling_bias", 0.0))
+                # scale (e.g. 6.09 for ICL). Reuse the engine's scaling so
+                # the dump cannot drift from the metrics path (a local
+                # re-implementation missed the optional scale_intrinsics
+                # focal rescale).
+                depth = engine._apply_scaling(
+                    depth, pair.gt_depths, intrinsics=pair.intrinsics
+                )
                 os.makedirs(plot_dir, exist_ok=True)
                 np.save(
                     os.path.join(plot_dir, f"depth_it{it}_rs{rs}.npy"),

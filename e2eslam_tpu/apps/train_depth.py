@@ -81,6 +81,10 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
         # GT reconstruction (detached target for the 3D losses),
         # reference train_depth.py:263-267.
         gt_map = gt_reconstruct(colors, gt_depths, K, poses)
+        # Acceleration index over the (fixed) GT reconstruction — without it
+        # a configured LOSS.knn_impl: voxel silently fell back to the
+        # brute-force KNN on every refinement step (None for other impls).
+        map_index = engine.build_map_index(gt_map)
 
         pair = PairBatch(colors=colors, gt_depths=gt_depths, intrinsics=K, poses=poses)
         state = state._replace(step=jnp.zeros((), jnp.int32))
@@ -115,10 +119,12 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
                 # per-layer gradient histograms + activation-gradient image
                 # grids (reference hook_fn, train_depth.py:865-917).
                 state, metrics, grads = engine.refine_step_with_grads(
-                    state, pair, gt_map, sub
+                    state, pair, gt_map, sub, map_index=map_index
                 )
             else:
-                state, metrics = engine.refine_step(state, pair, gt_map, sub)
+                state, metrics = engine.refine_step(
+                    state, pair, gt_map, sub, map_index=map_index
+                )
             global_step += 1
             # ONE host fetch per step shared by every observability consumer.
             need_host = (
@@ -147,18 +153,19 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
                     # dumps accordingly.
                     from e2eslam_tpu.engine.refine import TARGET
 
-                    frames = np.asarray(jax.device_get(pair.colors))
+                    window_frames = np.asarray(jax.device_get(pair.colors))
                     save_rgb(
                         f"{config.DEBUG.plot_path}/iter{it:04d}_step{rs}_tF.png",
-                        frames[TARGET],
+                        window_frames[TARGET],
                     )
                     srcs = [
-                        s for s in range(frames.shape[0]) if s != TARGET
+                        s for s in range(window_frames.shape[0])
+                        if s != TARGET
                     ]
-                    for n, s in enumerate(srcs, start=1):
+                    for sn, s in enumerate(srcs, start=1):
                         save_rgb(
-                            f"{config.DEBUG.plot_path}/iter{it:04d}_step{rs}_sF{n}.png",
-                            frames[s],
+                            f"{config.DEBUG.plot_path}/iter{it:04d}_step{rs}_sF{sn}.png",
+                            window_frames[s],
                         )
                 if rs % plot_interval == 0 and "debug_images" in m:
                     dump_debug_images(

@@ -74,12 +74,17 @@ def train(config, *, dataset=None, max_windows=None, verbose=True):
                 engine._apply_scaling(depths, gt_depths, intrinsics=K)
             )
             opt_state = engine.optimizer.init(depths)
+            # Same index treatment as oft_window's fast path: without it a
+            # configured LOSS.knn_impl: voxel silently fell back to the
+            # brute-force KNN for every verbose OFT step.
+            map_index = engine.build_map_index(gt_map)
 
             metrics = None
             for rs in range(int(config.OPTIMIZATION.refinement_steps)):
                 rng, sub = jax.random.split(rng)
                 depths, opt_state, metrics = engine.oft_step(
-                    depths, opt_state, initial_depths, pair, gt_map, sub
+                    depths, opt_state, initial_depths, pair, gt_map, sub,
+                    map_index=map_index,
                 )
                 m = jax.device_get(metrics)
                 print(

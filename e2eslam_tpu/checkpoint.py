@@ -41,6 +41,15 @@ def save_checkpoint(
     """Write a checkpoint directory. Returns the path."""
     os.makedirs(path, exist_ok=True)
     manifest = {"files": ["params.msgpack"], "meta": meta or {}}
+    manifest_path = os.path.join(path, "manifest.json")
+
+    # Invalidate any previous manifest BEFORE overwriting the pytree files:
+    # a crash mid-save then leaves a loudly-missing manifest (load raises)
+    # instead of a stale manifest silently pairing the new params with a
+    # previous save's opt_state — the exact corruption the manifest guards
+    # against on load.
+    if os.path.exists(manifest_path):
+        os.remove(manifest_path)
 
     with open(os.path.join(path, "params.msgpack"), "wb") as f:
         f.write(serialization.to_bytes(_to_host(params)))
@@ -53,8 +62,11 @@ def save_checkpoint(
             f.write(serialization.to_bytes(_to_host(opt_state)))
         manifest["files"].append("opt_state.msgpack")
 
-    with open(os.path.join(path, "manifest.json"), "w") as f:
+    # Commit point: the manifest appears atomically, last.
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2)
+    os.replace(tmp, manifest_path)
     return path
 
 

@@ -24,7 +24,6 @@ import numpy as np
 from e2eslam_tpu.data.pipeline import load_batch, make_dataset
 from e2eslam_tpu.engine.refine import PairBatch, RefinementEngine
 from e2eslam_tpu.models.depth_net import init_depth_model, make_depth_model
-from e2eslam_tpu.slam.pointclouds import empty_map
 
 
 def _camera_centers(poses: np.ndarray) -> np.ndarray:
@@ -107,16 +106,9 @@ class OnlineAdaptation:
         threshold = float(cfg.DEMO.frame_threshold)
         refinement_steps = int(cfg.OPTIMIZATION.refinement_steps)
 
-        # Index-impl fusion / association needs the per-pixel index image.
-        H, W = int(cfg.DATA.height), int(cfg.DATA.width)
-        needs_index = (
-            str(cfg.MODEL.get("fusion_impl", "scatter")) == "index"
-            or str(cfg.LOSS.get("knn_impl", "brute")) == "index"
-        )
-        global_map = empty_map(
-            self.capacity, index_hw=H * W if needs_index else None,
-            index_levels=int(cfg.MODEL.get("index_levels", 1) or 1),
-        )
+        # Index-impl fusion / association needs the per-pixel index image;
+        # the engine helper is THE single copy of that structure decision.
+        global_map = self.engine.make_empty_map()
         # The jitted steps donate their state/map inputs (buffer reuse);
         # start from a copy so self.state survives repeated run() calls.
         state = jax.tree_util.tree_map(jnp.copy, self.state)

@@ -52,7 +52,7 @@ from e2eslam_tpu.losses.regularizers import (
     sparse_sampling,
 )
 from e2eslam_tpu.slam.fusion import frame_pointcloud
-from e2eslam_tpu.slam.pointclouds import MapState
+from e2eslam_tpu.slam.pointclouds import MapState, empty_map
 from e2eslam_tpu.slam.rgbd import build_frame
 from e2eslam_tpu.slam.slam import PointFusion
 
@@ -845,6 +845,26 @@ class RefinementEngine:
             return new_state, metrics
 
         return step
+
+    def make_empty_map(self) -> MapState:
+        """Empty global map structured for this engine's config.
+
+        THE single copy of the "does this config need index images?" logic —
+        the adaptation loop and the scale/eval harnesses all construct their
+        (initial or dummy) maps here, so the pytree structure the jitted
+        steps compile against cannot drift between drivers.
+        """
+        cfg = self.config
+        H, W = int(cfg.DATA.height), int(cfg.DATA.width)
+        needs_index = (
+            str(cfg.MODEL.get("fusion_impl", "scatter")) == "index"
+            or str(cfg.LOSS.get("knn_impl", "brute")) == "index"
+        )
+        return empty_map(
+            self.map_capacity,
+            index_hw=H * W if needs_index else None,
+            index_levels=int(cfg.MODEL.get("index_levels", 1) or 1),
+        )
 
     def build_map_index(self, map_state: MapState):
         """Build the configured 3D-loss acceleration index over a map.

@@ -30,8 +30,15 @@ def average_focal_from_dir(path: str, pattern: str = "*.txt") -> float:
     for f in files:
         values = np.loadtxt(f)
         values = np.asarray(values, dtype=np.float64)
-        if values.size >= 9:
-            mats.append(values.reshape(-1)[:9].reshape(3, 3))
+        # Take the top-left 3x3 of the ORIGINAL matrix layout: flattening a
+        # 4x4 and reshaping its first 9 values would scramble the rows
+        # (K[1,1] landed on a zero, halving the reported focal).
+        if values.ndim == 2 and values.shape[0] >= 3 and values.shape[1] >= 3:
+            mats.append(values[:3, :3])
+        elif values.ndim == 1:
+            side = int(np.sqrt(values.size))
+            if side >= 3 and side * side == values.size:
+                mats.append(values.reshape(side, side)[:3, :3])
     if not mats:
         raise FileNotFoundError(f"no intrinsics files matching {pattern} under {path}")
     return average_focal(mats)

@@ -98,14 +98,23 @@ def gradient_histograms(grads, *, bins: int = 64) -> Dict[str, Dict]:
     for keypath, leaf in flat:
         path = "/".join(k.key if hasattr(k, "key") else str(k) for k in keypath)
         arr = np.asarray(jax.device_get(leaf)).ravel()
-        hist, edges = np.histogram(arr, bins=bins)
+        # np.histogram raises on non-finite input ("range ... is not
+        # finite") — a single NaN/Inf gradient leaf must not kill the whole
+        # training run at the observability step. Histogram the finite
+        # values only; an all-non-finite leaf gets an empty histogram.
+        finite = arr[np.isfinite(arr)]
+        if finite.size:
+            hist, edges = np.histogram(finite, bins=bins)
+        else:
+            hist = np.zeros(bins, dtype=np.int64)
+            edges = np.linspace(0.0, 1.0, bins + 1)
         out[path] = {
             "hist": hist,
             "edges": edges,
-            "norm": float(np.linalg.norm(arr)),
+            "norm": float(np.linalg.norm(finite)),
             # tensorboardX add_histogram_raw derives mean = sum/num: without
             # a real sum every layer reported mean 0.
-            "sum": float(arr.sum()),
-            "sum_sq": float(np.dot(arr, arr)),
+            "sum": float(finite.sum()),
+            "sum_sq": float(np.dot(finite, finite)),
         }
     return out

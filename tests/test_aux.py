@@ -97,6 +97,14 @@ def test_focal_average(tmp_path):
     for i, K in enumerate(Ks):
         np.savetxt(tmp_path / f"scene{i}.txt", K)
     assert average_focal_from_dir(str(tmp_path)) == pytest.approx(295.0)
+    # 4x4 intrinsics files must use the top-left 3x3 block, not the first
+    # nine flattened values.
+    K4 = np.eye(4)
+    K4[0, 0], K4[1, 1] = 300.0, 310.0
+    np.savetxt(tmp_path / "scene4x4.txt", K4)
+    assert average_focal_from_dir(str(tmp_path)) == pytest.approx(
+        (305.0 + 285.0 + 305.0) / 3
+    )
 
 
 def test_converter_multiimage_stem():
