@@ -22,7 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from e2eslam_tpu.data.pipeline import load_batch, make_dataset
-from e2eslam_tpu.engine.refine import PairBatch, RefinementEngine
+from e2eslam_tpu.engine.refine import (
+    PairBatch,
+    RefinementEngine,
+    validate_config,
+)
 from e2eslam_tpu.models.depth_net import init_depth_model, make_depth_model
 
 
@@ -58,6 +62,7 @@ class OnlineAdaptation:
     """Config-driven online-adaptation runner."""
 
     def __init__(self, config, *, dataset=None):
+        validate_config(config)  # fail fast, before model init
         self.config = config
         self.dataset = dataset if dataset is not None else make_dataset(config)
         self.model = make_depth_model(config)

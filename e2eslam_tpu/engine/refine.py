@@ -130,10 +130,28 @@ def _masked_point_loss(pts, nn, w, scale=None):
     return jnp.sum(d2) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def validate_config(config) -> None:
+    """Fail-fast cross-flag consistency checks.
+
+    Called at the top of both ``RefinementEngine.__init__`` and the driver
+    constructors, BEFORE any model init, so an inconsistent config costs
+    milliseconds instead of a full network initialization."""
+    if (
+        str(config.LOSS.get("knn_impl", "brute")) == "index"
+        and str(config.MODEL.get("fusion_impl", "scatter")) != "index"
+    ):
+        raise ValueError(
+            "LOSS.knn_impl: index requires MODEL.fusion_impl: index "
+            "(the fusion step maintains the index image the association "
+            "reads)"
+        )
+
+
 class RefinementEngine:
     """Builds and owns the jitted step functions for one config + model."""
 
     def __init__(self, config, model, *, map_capacity: int):
+        validate_config(config)
         self.config = config
         self.model = model
         self.map_capacity = map_capacity
@@ -155,16 +173,6 @@ class RefinementEngine:
                 config.MODEL.get("index_search_radius", 0) or 0
             ),
         )
-        if (
-            str(config.LOSS.get("knn_impl", "brute")) == "index"
-            and self.slam.fusion_impl != "index"
-        ):
-            raise ValueError(
-                "LOSS.knn_impl: index requires MODEL.fusion_impl: index "
-                "(the fusion step maintains the index image the association "
-                "reads)"
-            )
-
         # Donation: the previous RefineState (params/opt/initial-depths) and
         # the pre-fusion map are dead after each call — letting XLA reuse
         # their HBM avoids copying the multi-million-point map every fusion.

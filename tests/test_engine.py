@@ -302,25 +302,37 @@ def test_texture_gate_scales_three3d_numerator_only(pair):
     gmap, _ = slam(pair.colors, pair.gt_depths, pair.intrinsics, pair.poses,
                    capacity=2 * H * W)
 
-    def three3d(gate_k, batch):
+    # ONE engine per gate setting, reused across batches (same shapes reuse
+    # the jit cache — half the compiles of a per-call engine).
+    engines = {}
+    for gate_k in (None, 1500.0):
         cfg = small_config(**{
             "LOSS.three3d_loss": True,
             "LOSS.three3d_texture_gate": gate_k,
         })
-        engine, state = _engine_and_state(cfg)
+        engines[gate_k] = _engine_and_state(cfg)
+
+    def three3d(gate_k, batch):
+        engine, state = engines[gate_k]
+        # refine_step donates its state; hand it a copy so the pristine
+        # state survives for the second batch (params stay identical
+        # across calls, as the original one-engine-per-call version had).
+        state = jax.tree_util.tree_map(jnp.copy, state)
         _, metrics = engine.refine_step(state, batch, gmap, jax.random.key(0))
         return float(metrics["three3d"])
+
+    flat = pair._replace(colors=jnp.full_like(pair.colors, 0.5))
 
     base = three3d(None, pair)
     gated = three3d(1500.0, pair)
     assert 0.0 < gated < 0.35 * base, (gated, base)
 
-    flat = pair._replace(colors=jnp.full_like(pair.colors, 0.5))
     base_flat = three3d(None, flat)
     gated_flat = three3d(1500.0, flat)
     assert gated_flat == pytest.approx(base_flat, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_refinement_survives_corrupted_input(pair):
     """Robustness: the jitted refine+fuse path stays finite when the input
     pair is corrupted by the perturbation toolkit (noise on color+depth and

@@ -291,6 +291,7 @@ def test_knn_map_sharded_nq_and_empty_tail():
                                rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_points_losses_map_sharded_match_single_device():
     """Sharded 3D losses == single-device losses, values AND gradients.
 

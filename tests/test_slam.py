@@ -320,6 +320,7 @@ def test_index_nn_association(seq):
     assert np.median(d[found]) < 0.1
 
 
+@pytest.mark.slow
 def test_index_fusion_is_differentiable_wrt_depth(seq):
     from e2eslam_tpu.slam.fusion import pointfusion_step_index
 
