@@ -92,10 +92,13 @@ def _make_knn_kernel(nrt: int):
         q_ref: [QT, 4] augmented query block (VMEM) — [qx, qy, qz, 1]
         r_ref: [4, RT] augmented/transposed ref block (VMEM) —
           [rx, ry, rz, -0.5|r|^2], bias row -1e30 on invalid rows
-        qbb_ref/rbb_ref: [1, 8] CURRENT tile bboxes
-          [minx,miny,minz,maxx,maxy,maxz,0,0] — streamed per grid step as
-          SMEM blocks (whole-array scalar prefetch overflowed the 1 MB SMEM
-          at multi-million-point capacities: ~20k tiles x 32 B x 2 buffers)
+        qbb_ref/rbb_ref: [n_tiles, 8] WHOLE-ARRAY tile bboxes
+          [minx,miny,minz,maxx,maxy,maxz,0,0] in SMEM via scalar prefetch,
+          dynamically indexed by (i, jr). At RT=8192 even a 16M-point
+          capacity is <2k tiles x 32 B — tens of KB against the ~1 MB SMEM.
+          (Per-step (1, 8) SMEM *blocks* are rejected by the Mosaic
+          lowering: block sublane dims must be multiples of 8 or the full
+          array dim.)
         score_ref/idx_ref: [8, QT] running accumulators (VMEM-resident
           across j; 8 replicated sublane rows = TPU (8, 128) tile minimum)
         wb_ref: [1, 1] SMEM scratch — the tile's current WORST best squared
@@ -117,8 +120,8 @@ def _make_knn_kernel(nrt: int):
         lb2 = jnp.float32(0.0)
         for ax in range(3):
             gap = jnp.maximum(
-                jnp.maximum(qbb_ref[0, ax] - rbb_ref[0, 3 + ax],
-                            rbb_ref[0, ax] - qbb_ref[0, 3 + ax]),
+                jnp.maximum(qbb_ref[i, ax] - rbb_ref[jr, 3 + ax],
+                            rbb_ref[jr, ax] - qbb_ref[i, 3 + ax]),
                 0.0,
             )
             lb2 = lb2 + gap * gap
@@ -240,15 +243,12 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, *,
     scores, idx = pl.pallas_call(
         _make_knn_kernel(nrt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            # nq, nr AND both bbox tables ride scalar prefetch (SMEM whole
+            # arrays, dynamically indexed in-kernel): at RT=8192 the tables
+            # are tens of KB even for multi-M-point capacities.
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=[
-                # Per-step bbox rows in SMEM (32 B each); whole-array scalar
-                # prefetch overflows SMEM at multi-M-point capacities.
-                pl.BlockSpec((1, 8), lambda i, j, *s: (i, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 8), lambda i, j, *s: (nrt - 1 - j, 0),
-                             memory_space=pltpu.SMEM),
                 pl.BlockSpec((_QT, 4), lambda i, j, *s: (i, 0),
                              memory_space=pltpu.VMEM),
                 # newest-first ref tile order (see _make_knn_kernel)

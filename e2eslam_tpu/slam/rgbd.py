@@ -42,22 +42,37 @@ def vertex_map(depth: Array, intrinsics: Array) -> Array:
     return pts[0]
 
 
-def normal_map(vertices: Array) -> Array:
+def normal_map(vertices: Array, edge: str = "zero") -> Array:
     """Per-pixel normals from forward differences of the vertex map.
 
     ``n = normalize((v[y, x+1] - v) x (v[y+1, x] - v))``, zero where
-    undefined. Matches gradslam's vertex-map-difference normals in spirit;
-    edge rows/cols replicate their neighbor.
+    undefined. Matches gradslam's vertex-map-difference normals in spirit.
+
+    ``edge`` controls the last row/column, where the forward difference
+    does not exist:
+      * ``"zero"`` (default): the border difference is zero, so border
+        normals are zero and border pixels never pass the fusion angle
+        gate — each keyframe appends its H+W-1 border points as fresh
+        surfels instead of merging them. This mirrors a torch
+        ``diff(..., append=last)`` edge and is the measured-quality winner
+        on the flagship benchmark (replicated edges merge border pixels
+        into older surfels, whose confidence-weighted averages drag the 3D
+        supervision toward stale depth: abs_rel 0.077 -> 0.103 at full
+        TPU scale when "replicate" briefly shipped as the default). The
+        duplicate cost is ~1% of the final map.
+      * ``"replicate"``: the border replicates the previous difference, so
+        border pixels get well-defined normals and can merge.
     """
-    # Edge rows/cols REPLICATE the previous difference (as documented):
-    # `append=vertices[-1:]` would make the last-row/col difference exactly
-    # zero -> zero normals there -> those pixels can never pass the fusion
-    # angle gate and append H+W-1 unmergeable duplicates EVERY keyframe
-    # (code-review r3, empirically confirmed).
     dx = jnp.diff(vertices, axis=1)
-    dx = jnp.concatenate([dx, dx[:, -1:, :]], axis=1)
     dy = jnp.diff(vertices, axis=0)
-    dy = jnp.concatenate([dy, dy[-1:, :, :]], axis=0)
+    if edge == "replicate":
+        dx = jnp.concatenate([dx, dx[:, -1:, :]], axis=1)
+        dy = jnp.concatenate([dy, dy[-1:, :, :]], axis=0)
+    else:
+        zx = jnp.zeros_like(dx[:, -1:, :])
+        zy = jnp.zeros_like(dy[-1:, :, :])
+        dx = jnp.concatenate([dx, zx], axis=1)
+        dy = jnp.concatenate([dy, zy], axis=0)
     n = jnp.cross(dx, dy)
     # NaN-safe normalization (double-where): sqrt's derivative at 0 is inf,
     # and 0-cotangent * inf = NaN would poison gradients flowing through
