@@ -241,6 +241,18 @@ class OnlineAdaptation:
                 global_map, est_pose = self.engine.fuse_pair(
                     state, fuse_batch, global_map, fuse_prev=first_iter
                 )
+                # Periodic live-map compaction (host-loop variant of the
+                # sequence program's lax.cond; MODEL.compact_period).
+                period = int(cfg.MODEL.get("compact_period", 0) or 0)
+                if period and (len(keyframes) + 1) % period == 0:
+                    from e2eslam_tpu.slam.compact import compact_map
+
+                    global_map = compact_map(
+                        global_map,
+                        voxel=float(
+                            cfg.MODEL.get("compact_live_voxel", 0.01) or 0.01
+                        ),
+                    )
                 map_index = self.engine.build_map_index(global_map)
             first_iter = False
             kf_hist.append(frame)

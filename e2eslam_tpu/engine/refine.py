@@ -287,7 +287,9 @@ class RefinementEngine:
             tgt_cam[::s, ::s].reshape(-1, 3),
             jnp.ones(tgt_cam[::s, ::s].shape[:2], depth.dtype).reshape(-1),
             src_cam,
-            normal_map(src_cam),
+            # edge="zero" (explicit): border residuals drop out of the ICP,
+            # matching fusion's deliberate parity deviation (rgbd.normal_map).
+            normal_map(src_cam, edge="zero"),
             jnp.ones(src_cam.shape[:2], depth.dtype),
             K,
             numiters=int(self.slam.numiters),
@@ -947,6 +949,28 @@ class RefinementEngine:
     # ------------------------------------------------------------------
     def _make_process_sequence(self):
         process = self._make_process_pair()
+        cfg = self.config
+        # Periodic in-sequence compaction (VERDICT r3 #8): every K fused
+        # keyframes, merge co-located surfels and pack the live map
+        # (slam/compact.py). Runs INSIDE the single-dispatch sequence
+        # program under lax.cond — an XLA conditional, so non-compaction
+        # events pay nothing — and the index images survive via the row
+        # remap, so the next fusion/association proceeds normally.
+        compact_period = int(cfg.MODEL.get("compact_period", 0) or 0)
+        compact_voxel = float(cfg.MODEL.get("compact_live_voxel", 0.01)
+                              or 0.01)
+
+        def maybe_compact(ms: MapState, event_i):
+            if compact_period <= 0:
+                return ms
+            from e2eslam_tpu.slam.compact import compact_map
+
+            return jax.lax.cond(
+                (event_i + 1) % compact_period == 0,
+                lambda m: compact_map(m, voxel=compact_voxel),
+                lambda m: m,
+                ms,
+            )
 
         def process_sequence(state: RefineState, map_state: MapState,
                              colors, gt_depths, K, poses,
@@ -960,19 +984,24 @@ class RefinementEngine:
             state, map_state, m0, p0 = process(
                 state, pair0, map_state, sub, fuse_prev=True
             )
+            map_state = maybe_compact(map_state, jnp.int32(0))
 
             def body(carry, event):
                 st, ms, key = carry
-                pi, ci = event
+                pi, ci, ei = event
                 key, sub = jax.random.split(key)
                 pair = gather_pair(colors, gt_depths, K, poses, pi, ci)
                 st, ms, metrics, est = process(
                     st, pair, ms, sub, fuse_prev=False
                 )
+                ms = maybe_compact(ms, ei)
                 return (st, ms, key), (metrics, est)
 
+            E = prev_idx.shape[0]
             (state, map_state, _), (metrics, est_poses) = jax.lax.scan(
-                body, (state, map_state, rng), (prev_idx[1:], cur_idx[1:])
+                body, (state, map_state, rng),
+                (prev_idx[1:], cur_idx[1:],
+                 jnp.arange(1, E, dtype=jnp.int32)),
             )
             # Prepend event 0's outputs.
             metrics = jax.tree_util.tree_map(

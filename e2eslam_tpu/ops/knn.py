@@ -85,20 +85,27 @@ def _make_knn_kernel(nrt: int):
     considered — maximizing branch-and-bound pruning.
     """
 
-    def _knn_kernel(nq_ref, nr_ref, qbb_ref, rbb_ref, q_ref, r_ref,
-                    score_ref, idx_ref, wb_ref):
+    def _knn_kernel(nq_ref, nr_ref, rbb_ref, q_ref, r_ref,
+                    score_ref, idx_ref, wb_ref, qbb_ref):
         """One (query-tile i, ref-tile jr) step of the running-max MXU KNN.
 
         q_ref: [QT, 4] augmented query block (VMEM) — [qx, qy, qz, 1]
         r_ref: [4, RT] augmented/transposed ref block (VMEM) —
           [rx, ry, rz, -0.5|r|^2], bias row -1e30 on invalid rows
-        qbb_ref/rbb_ref: [n_tiles, 8] WHOLE-ARRAY tile bboxes
+        rbb_ref: [n_tiles, 8] WHOLE-ARRAY ref tile bboxes
           [minx,miny,minz,maxx,maxy,maxz,0,0] in SMEM via scalar prefetch,
-          dynamically indexed by (i, jr). At RT=8192 even a 16M-point
-          capacity is <2k tiles x 32 B — tens of KB against the ~1 MB SMEM.
+          dynamically indexed by jr. At RT=8192 even a 16M-point capacity
+          is <2k tiles x 32 B — tens of KB against the ~1 MB SMEM.
           (Per-step (1, 8) SMEM *blocks* are rejected by the Mosaic
           lowering: block sublane dims must be multiples of 8 or the full
           array dim.)
+        qbb_ref: [8] SMEM scratch — THIS query tile's bbox, computed
+          in-kernel at j==0 from q_ref (a [QT] VPU min/max per axis).
+          The query side must NOT use a prefetched whole-array table: at
+          _QT=256 the table scales with the QUERY count, and in the exact
+          chamfer's map->frame direction the multi-M-point map is the
+          query (refine.py map->frame KNN) — a 4.5M-point query cloud
+          would need ~566 KB and >8M points overflows the ~1 MB SMEM.
         score_ref/idx_ref: [8, QT] running accumulators (VMEM-resident
           across j; 8 replicated sublane rows = TPU (8, 128) tile minimum)
         wb_ref: [1, 1] SMEM scratch — the tile's current WORST best squared
@@ -114,14 +121,22 @@ def _make_knn_kernel(nrt: int):
             score_ref[...] = jnp.full_like(score_ref, _NEG)
             idx_ref[...] = jnp.zeros_like(idx_ref)
             wb_ref[0, 0] = jnp.float32(jnp.inf)
+            # Query tile bbox (computed once per i; the grid iterates j
+            # innermost so SMEM scratch persists across the j sweep).
+            # Padded query rows are zeros and only WIDEN the bbox — the
+            # bound stays valid, matching the old precomputed-table
+            # semantics exactly.
+            for ax in range(3):
+                qbb_ref[ax] = jnp.min(q_ref[:, ax])
+                qbb_ref[3 + ax] = jnp.max(q_ref[:, ax])
 
         # Bbox lower bound between every q in tile i and every r in tile jr:
         # per-axis gap max(0, qmin - rmax, rmin - qmax), summed squared.
         lb2 = jnp.float32(0.0)
         for ax in range(3):
             gap = jnp.maximum(
-                jnp.maximum(qbb_ref[i, ax] - rbb_ref[jr, 3 + ax],
-                            rbb_ref[jr, ax] - qbb_ref[i, 3 + ax]),
+                jnp.maximum(qbb_ref[ax] - rbb_ref[jr, 3 + ax],
+                            rbb_ref[jr, ax] - qbb_ref[3 + ax]),
                 0.0,
             )
             lb2 = lb2 + gap * gap
@@ -235,7 +250,6 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, *,
              jnp.zeros((t.shape[0], 2), jnp.float32)], axis=1
         )  # [n_tiles, 8]
 
-    qbb = tile_bbox(_pad_to(q, nq_pad, 0), _QT)
     rbb = tile_bbox(_pad_to(r, nr_pad, 0), _RT)
 
     grid = (nq_pad // _QT, nr_pad // _RT)
@@ -243,10 +257,14 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, *,
     scores, idx = pl.pallas_call(
         _make_knn_kernel(nrt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            # nq, nr AND both bbox tables ride scalar prefetch (SMEM whole
-            # arrays, dynamically indexed in-kernel): at RT=8192 the tables
-            # are tens of KB even for multi-M-point capacities.
-            num_scalar_prefetch=4,
+            # nq, nr and the REF bbox table ride scalar prefetch (SMEM whole
+            # arrays, dynamically indexed in-kernel): at RT=8192 the table
+            # is tens of KB even for multi-M-point capacities. The QUERY
+            # bboxes are computed in-kernel (SMEM scratch) because the
+            # query count is unbounded in the map->frame direction — a
+            # prefetched [nq/_QT, 8] table would overflow SMEM past ~8M
+            # queries (ADVICE r3).
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((_QT, 4), lambda i, j, *s: (i, 0),
@@ -261,14 +279,17 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, *,
                 pl.BlockSpec((8, _QT), lambda i, j, *s: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+            scratch_shapes=[
+                pltpu.SMEM((1, 1), jnp.float32),
+                pltpu.SMEM((8,), jnp.float32),
+            ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((grid[0] * 8, _QT), jnp.float32),
             jax.ShapeDtypeStruct((grid[0] * 8, _QT), jnp.int32),
         ],
         interpret=interpret,
-    )(nq, nr, qbb, rbb, q4, r4t)
+    )(nq, nr, rbb, q4, r4t)
     # Rows are replicated 8x within each tile block; keep row 0 of each.
     best_score = scores[::8].reshape(-1)[:Nq]
     best_idx = idx[::8].reshape(-1)[:Nq]

@@ -12,9 +12,15 @@ Cost: a handful of O(capacity)-row scatters (~0.3 s for a 4M-point map on
 v5e) — run it at END of a sequence (map export, demo snapshots) or every K
 keyframes on the host-loop path, NOT inside the per-step program.
 
-NOTE: compaction MOVES rows, so any cached index images become invalid;
-the returned MapState clears them (next fusion re-seeds via appends).
-Fully jit-compatible (static shapes; count is a traced scalar).
+NOTE: compaction MOVES rows, so cached index images must be translated.
+Because the pass knows exactly where every row went (merged rows land at
+their voxel winner's packed position, survivors at their own), the index
+images are REMAPPED in place — one [HW] gather — instead of cleared, which
+is what makes running compaction mid-sequence affordable (an invalidated
+index would append a full frame of duplicates at the next fusion and break
+the 3D loss's association for one keyframe). Fully jit-compatible (static
+shapes; count is a traced scalar), so it can run inside the whole-sequence
+program under ``lax.cond`` (MODEL.compact_period).
 """
 
 from __future__ import annotations
@@ -104,17 +110,30 @@ def compact_map(m: MapState, *, voxel: float = 0.02,
     data = jnp.zeros_like(m.data).at[dest].set(out_rows, mode="drop")
     count = jnp.sum(keep.astype(jnp.int32))
 
+    # Row translation: every VALID old row has a well-defined new home —
+    # merged (same-voxel, non-winner) rows land at their winner's packed
+    # position, survivors at their own. Cached index images stay valid
+    # under one [HW] gather through this map (slot -1 passes through).
+    row_map = jnp.where(
+        same_voxel & ~is_winner,
+        jnp.take(dest, jnp.clip(winner, 0, N - 1), mode="clip"),
+        dest,
+    )
+    row_map = jnp.where(valid, row_map, N).astype(jnp.int32)
+
+    def remap(idx):
+        if idx is None:
+            return None
+        ok = idx >= 0
+        new = jnp.take(row_map, jnp.clip(idx, 0, N - 1), mode="clip")
+        return jnp.where(ok & (new < N), new, -1).astype(idx.dtype)
+
     return MapState(
         data=data,
         count=count,
-        index_image=(
-            None if m.index_image is None else jnp.full_like(m.index_image, -1)
-        ),
+        index_image=remap(m.index_image),
         index_pose=m.index_pose,
-        index_image2=(
-            None if m.index_image2 is None
-            else jnp.full_like(m.index_image2, -1)
-        ),
+        index_image2=remap(m.index_image2),
         index_pose2=m.index_pose2,
         kf_counter=m.kf_counter,
     )

@@ -162,7 +162,11 @@ def gradicp(
 
     from e2eslam_tpu.slam.rgbd import normal_map
 
-    prev_normals_cam = normal_map(prev_cam)
+    # edge="zero" (explicit): border pixels get zero normals, so their
+    # point-to-plane residuals vanish and the angle gate drops them — the
+    # same deliberate gradslam-parity deviation as fusion (see
+    # rgbd.normal_map; ADVICE r3).
+    prev_normals_cam = normal_map(prev_cam, edge="zero")
 
     s = downsample
     pts = live_cam[::s, ::s].reshape(-1, 3)

@@ -61,8 +61,18 @@ def normal_map(vertices: Array, edge: str = "zero") -> Array:
         TPU scale when "replicate" briefly shipped as the default). The
         duplicate cost is ~1% of the final map.
       * ``"replicate"``: the border replicates the previous difference, so
-        border pixels get well-defined normals and can merge.
+        border pixels get well-defined normals and can merge. This matches
+        gradslam's edge handling; the "zero" default is a DELIBERATE parity
+        deviation (measured-quality winner, see above) that applies
+        everywhere normals are consumed — fusion, gradICP's point-to-plane
+        residuals (odometry.py), and the refine normal path (refine.py) all
+        inherit zero border normals, dropping the H+W-1 border pixels from
+        their angle gates / residuals.
     """
+    if edge not in ("zero", "replicate"):
+        raise ValueError(
+            f"normal_map edge must be 'zero' or 'replicate', got {edge!r}"
+        )
     dx = jnp.diff(vertices, axis=1)
     dy = jnp.diff(vertices, axis=0)
     if edge == "replicate":

@@ -71,6 +71,49 @@ def test_knn_pallas_interpret_valid_query_count():
     np.testing.assert_allclose(np.asarray(d)[:nq], bd, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_knn_pallas_interpret_exact_mode_shapes():
+    """Lowering guard at the EXACT-MODE shapes (VERDICT r3 #1): a full-frame
+    query (82k = 256x320, non-multiple of the 256-query tile after the real
+    frame crop below) against a map-capacity-sized ref with a partial valid
+    prefix. Pins the shape-dependent assumptions (grid construction, scalar
+    prefetch sizes, in-kernel query bboxes) the round-3 on-chip failure
+    slipped through: the kernel is run in interpret mode at the same grid
+    the chip sees, just on a smaller ref capacity to keep CPU time sane."""
+    rng = np.random.default_rng(11)
+    nq = 256 * 320  # full-frame query count (81920)
+    cap = 3 * 8192 + 517  # non-tile-aligned capacity -> padded final tile
+    q = rng.uniform(-2, 2, size=(nq, 3)).astype(np.float32)
+    r = rng.uniform(-2, 2, size=(cap, 3)).astype(np.float32)
+    nr = 2 * 8192 + 99  # valid prefix ends mid-tile
+    d, i = knn_pallas(jnp.asarray(q), jnp.asarray(r), nr=nr, interpret=True)
+    dx, ix = knn_xla(jnp.asarray(q), jnp.asarray(r), nr=nr)
+    # Ties pick either index (pallas visits tiles newest-first, XLA oldest-
+    # first): require the DISTANCE THROUGH the chosen index to match, the
+    # same convention as tools/knn_tpu_check.py.
+    d_via = ((q - r[np.asarray(i)]) ** 2).sum(-1)
+    np.testing.assert_allclose(d_via, np.asarray(dx), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(dx), atol=1e-4)
+    assert np.all(np.asarray(i) < nr)
+
+
+@pytest.mark.slow
+def test_knn_pallas_interpret_map_as_query():
+    """Map->frame direction (the bidirectional chamfer's second term): the
+    QUERY is the large cloud. The query bbox table must not live in scalar
+    prefetch (SMEM scales with query count — ADVICE r3 medium); this pins
+    the in-kernel scratch-bbox path at a query count far beyond any
+    prefetched-table budget assumption (shape-wise; size kept CPU-sane)."""
+    rng = np.random.default_rng(12)
+    nq = 40_000 + 123  # many query tiles, non-aligned
+    q = rng.uniform(-2, 2, size=(nq, 3)).astype(np.float32)
+    r = rng.uniform(-2, 2, size=(9000, 3)).astype(np.float32)
+    d, i = knn_pallas(jnp.asarray(q), jnp.asarray(r), interpret=True)
+    dx, ix = knn_xla(jnp.asarray(q), jnp.asarray(r))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ix))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(dx), atol=1e-4)
+
+
 def test_knn_points_loss_value_and_grads():
     rng = np.random.default_rng(4)
     gt = jnp.asarray(rng.normal(size=(100, 3)).astype(np.float32))

@@ -527,3 +527,66 @@ def test_compact_map_hash_collisions_do_not_merge():
     np.testing.assert_allclose(
         float(jnp.sum(c.confidence[: int(c.count)])), float(n), rtol=1e-5
     )
+
+
+def test_compact_map_remaps_index_images(seq):
+    """Compaction MOVES rows; cached index images must be translated to the
+    rows' new homes (round 4) — a slot must keep pointing at (approximately)
+    the same surfel, so mid-sequence compaction doesn't invalidate the next
+    fusion's association."""
+    from e2eslam_tpu.slam.compact import compact_map
+    from e2eslam_tpu.slam.fusion import pointfusion_step_index
+
+    m = empty_map(4 * H * W, index_hw=H * W)
+    m = pointfusion_step_index(m, _frame(seq, 0))
+    m = pointfusion_step_index(m, _frame(seq, 1))
+    idx_before = np.asarray(m.index_image)
+    pts_before = np.asarray(m.points)
+
+    c = compact_map(m, voxel=0.02)
+    idx_after = np.asarray(c.index_image)
+    pts_after = np.asarray(c.points)
+
+    # Validity pattern is preserved (a slot that had a surfel still has one).
+    assert np.array_equal(idx_before >= 0, idx_after >= 0)
+    ok = idx_before >= 0
+    assert np.all(idx_after[ok] < int(c.count))
+    # Each remapped slot's surfel is near its pre-compaction surfel: equal
+    # where the row survived untouched, within the voxel when merged.
+    d = np.linalg.norm(
+        pts_before[idx_before[ok]] - pts_after[idx_after[ok]], axis=-1
+    )
+    assert float(d.max()) < 0.1  # few-voxel bound (merge moves < voxel diag)
+    assert float(np.median(d)) < 0.02
+
+
+def test_sequence_program_periodic_compaction(seq):
+    """MODEL.compact_period: the whole-sequence program compacts the live
+    map every K keyframes under lax.cond, index images survive via the row
+    remap, and the run stays finite with a smaller final map."""
+    from e2eslam_tpu.config import default_config_path, load_yaml
+    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+
+    def run(period):
+        cfg = load_yaml(default_config_path())
+        cfg.DATA.name = "synthetic"
+        cfg.DATA.height, cfg.DATA.width = 64, 64  # nets need /32 dims
+        cfg.DEMO.sequence_length = 8
+        cfg.DEMO.frame_threshold = 0.01
+        cfg.DATA.dilation = 4
+        cfg.OPTIMIZATION.refinement_steps = 1
+        cfg.LOSS.three3d_loss = True
+        cfg.MODEL.fusion_impl = "index"
+        cfg.LOSS.knn_impl = "index"
+        cfg.MODEL.compact_period = period
+        cfg.MODEL.compact_live_voxel = 0.03
+        return OnlineAdaptation(cfg).run(verbose=False)
+
+    base = run(0)
+    comp = run(3)
+    assert comp["num_keyframes"] == base["num_keyframes"]
+    assert np.isfinite(comp["mean_abs_rel"])
+    assert comp["map_points"] < base["map_points"]
+    # Quality must not collapse: compaction merges surfels, it doesn't
+    # destroy the map the 3D loss supervises against.
+    assert comp["mean_abs_rel"] < max(2.5 * base["mean_abs_rel"], 0.5)

@@ -56,7 +56,7 @@ def make_sequences(b, seq_len, h, w):
             np.stack(poses))
 
 
-def bench_one(cfg, b, sequences, *, runs=2):
+def bench_one(cfg, b, sequences, *, runs=2, profile_dir=None):
     from e2eslam_tpu.models.depth_net import (
         init_depth_model,
         make_depth_model,
@@ -77,11 +77,18 @@ def bench_one(cfg, b, sequences, *, runs=2):
     threshold = float(cfg.DEMO.frame_threshold)
 
     recs = []
-    for _ in range(runs + 1):  # first run pays compile
+    for i in range(runs + 1):  # first run pays compile
         state = par.init_state(params, stats, (2, h, w))
+        # Trace the LAST steady run (device-time op breakdown of the
+        # batched program; parse with tools/trace_tool.py).
+        tracing = profile_dir and i == runs
+        if tracing:
+            jax.profiler.start_trace(profile_dir)
         t0 = time.perf_counter()
         out = par.run(state, sequences, threshold=threshold)
         elapsed = time.perf_counter() - t0
+        if tracing:
+            jax.profiler.stop_trace()
         total_steps = R * sum(
             r["num_keyframes"] for r in out["per_sequence"]
         )
@@ -116,6 +123,8 @@ def main():
                     metavar=("H", "W"),
                     help="frame size; shrink (e.g. --hw 64 64) to validate "
                          "the code path on CPU — MFU is meaningless there")
+    ap.add_argument("--profile-dir", default=None,
+                    help="jax.profiler trace of the last steady run per B")
     args = ap.parse_args()
 
     # The axon TPU plugin ignores the JAX_PLATFORMS env var and blocks on a
@@ -155,7 +164,13 @@ def main():
     results = []
     for b in args.b:
         seqs = make_sequences(b, args.seq_len, *args.hw)
-        rec = bench_one(cfg, b, seqs, runs=args.runs)
+        rec = bench_one(
+            cfg, b, seqs, runs=args.runs,
+            profile_dir=(
+                os.path.join(args.profile_dir, f"b{b}")
+                if args.profile_dir else None
+            ),
+        )
         print(json.dumps(rec), flush=True)
         results.append(rec)
 
