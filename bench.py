@@ -118,12 +118,15 @@ def run_bench():
     # (abs_rel 0.112 bf16 vs 0.115 f32) and slightly faster; losses and
     # geometry stay f32 (the model casts outputs back, models/depth_net.py).
     cfg.SETTINGS.compute_dtype = "bfloat16"
-    # Round-3 map hygiene (BASELINE.md maphygiene table): 3x3 neighborhood
-    # fusion search + two-level dedup with the 3D loss pinned to the FRESH
-    # index level — abs_rel 0.0771 -> 0.0765 with ~1-2% fewer map points
-    # and unchanged steps/s (the round-2 two-level quality regression is
-    # gone once association is decoupled from fusion dedup).
-    cfg.MODEL.index_search_radius = 1
+    # Map hygiene, round-4 re-measured (tools/bench_knobs.py,
+    # tools/runbook_logs/5_knobs_r4.log — each knob individually, median of
+    # three steady runs): the 3x3 fusion probe (index_search_radius 1)
+    # costs 23% throughput (33.9 -> 26.1 steps/s) for -0.0005 abs_rel and
+    # -1.6% map points — dropped; two-level dedup with fresh-level loss
+    # association is FREE (34.2 vs 33.9 within variance) — kept. Duplicate
+    # control beyond this belongs to periodic compaction
+    # (MODEL.compact_period), not per-pixel probing.
+    cfg.MODEL.index_search_radius = 0
     cfg.MODEL.index_levels = 2
     cfg.LOSS.index_assoc_levels = 1
     # Micro-optimizations (measured, semantics-preserving): one fused Adam
