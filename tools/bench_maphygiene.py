@@ -34,6 +34,11 @@ def main():
     enable_compilation_cache()
 
     base = flagship_config()
+    # This tool's variant ladder starts from the round-2 flagship (L1, no
+    # probe); flagship_config now carries the round-4 knobs, so reset them.
+    base.MODEL.index_search_radius = 0
+    base.MODEL.index_levels = 1
+    base.LOSS.index_assoc_levels = 0
     r1 = run_row(base, "flagship L1")
 
     l2 = base.copy()
