@@ -27,7 +27,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import json
 
+import numpy as np
+
 from bench_hardmode import flagship_config  # noqa: E402
+
+
+def trajectory_length(poses):
+    """Total keyframe path length in meters (for the scale-free drift
+    statistic ATE / trajectory-length — open-loop ICP drift grows with
+    distance travelled, so the percentage is comparable across lengths)."""
+    t = np.asarray(poses)[:, :3, 3]
+    return float(np.linalg.norm(np.diff(t, axis=0), axis=1).sum())
 
 
 def main():
@@ -51,6 +61,9 @@ def main():
         cfg.DATA.height, cfg.DATA.width = args.hw
         cfg.MODEL.odom = "gradicp"
         out = OnlineAdaptation(cfg).run(verbose=False)
+        traj = trajectory_length(out["gt_kf_poses"]) if len(
+            out["gt_kf_poses"]
+        ) >= 2 else 0.0
         print(json.dumps({
             "seq_len": L,
             "keyframes": out["num_keyframes"],
@@ -59,6 +72,9 @@ def main():
             "abs_rel": round(out["mean_abs_rel"], 5),
             "ate_per_keyframe": round(
                 out["ate"] / max(out["num_keyframes"], 1), 6),
+            "traj_len_m": round(traj, 3),
+            "ate_pct_of_traj": round(100.0 * out["ate"] / traj, 2)
+            if traj > 0 else None,
         }), flush=True)
 
 
