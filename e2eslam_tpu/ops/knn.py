@@ -267,11 +267,41 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, *,
             num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((_QT, 4), lambda i, j, *s: (i, 0),
-                             memory_space=pltpu.VMEM),
-                # newest-first ref tile order (see _make_knn_kernel)
-                pl.BlockSpec((4, _RT), lambda i, j, *s: (0, nrt - 1 - j),
-                             memory_space=pltpu.VMEM),
+                # Query block index clamped to the last VALID query tile:
+                # beyond-nq grid rows (map->frame direction over a fixed-
+                # capacity query buffer) keep the same block index, so
+                # Mosaic skips the re-DMA — a skipped row costs loop
+                # overhead only. Outputs must NOT be clamped (aliasing two
+                # grid rows onto one output block would clobber the valid
+                # tile's results at the final writeback).
+                pl.BlockSpec(
+                    (_QT, 4),
+                    lambda i, j, nq, nr, rbb: (
+                        jnp.minimum(i, jnp.maximum((nq[0] - 1) // _QT, 0)),
+                        0,
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+                # newest-first ref tile order (see _make_knn_kernel), block
+                # index clamped to the newest VALID ref tile: the first
+                # (capacity - valid) steps of each newest-first sweep are
+                # beyond the valid count — unclamped they each paid a
+                # 131 KB block DMA for data the kernel provably skips
+                # (`run` is False there). Clamped, the index stays constant
+                # until the sweep reaches valid tiles, so those steps cost
+                # no DMA at all. At mid-sequence maps (valid ~40% of
+                # capacity) this was ~60% of all grid steps.
+                pl.BlockSpec(
+                    (4, _RT),
+                    lambda i, j, nq, nr, rbb: (
+                        0,
+                        jnp.minimum(
+                            nrt - 1 - j,
+                            jnp.maximum((nr[0] - 1) // _RT, 0),
+                        ),
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
             ],
             out_specs=[
                 pl.BlockSpec((8, _QT), lambda i, j, *s: (i, 0),
