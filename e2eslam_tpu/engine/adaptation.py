@@ -242,17 +242,38 @@ class OnlineAdaptation:
                     state, fuse_batch, global_map, fuse_prev=first_iter
                 )
                 # Periodic live-map compaction (host-loop variant of the
-                # sequence program's lax.cond; MODEL.compact_period).
+                # sequence program's lax.cond; MODEL.compact_period /
+                # compact_mode — see engine/refine.py and slam/compact.py).
                 period = int(cfg.MODEL.get("compact_period", 0) or 0)
                 if period and (len(keyframes) + 1) % period == 0:
-                    from e2eslam_tpu.slam.compact import compact_map
-
-                    global_map = compact_map(
-                        global_map,
-                        voxel=float(
-                            cfg.MODEL.get("compact_live_voxel", 0.01) or 0.01
-                        ),
+                    from e2eslam_tpu.slam.compact import (
+                        compact_map,
+                        compact_map_projective,
                     )
+
+                    mode = str(
+                        cfg.MODEL.get("compact_mode", "voxel") or "voxel"
+                    )
+                    if mode == "projective":
+                        global_map = compact_map_projective(
+                            global_map, est_pose, fuse_batch.intrinsics,
+                            height=int(cfg.DATA.height),
+                            width=int(cfg.DATA.width),
+                            dist_gate=float(
+                                cfg.MODEL.get("dist_th", 0.05) or 0.05
+                            ),
+                            normal_gate_deg=float(
+                                cfg.MODEL.get("angle_th", 20.0) or 20.0
+                            ),
+                        )
+                    else:
+                        global_map = compact_map(
+                            global_map,
+                            voxel=float(
+                                cfg.MODEL.get("compact_live_voxel", 0.01)
+                                or 0.01
+                            ),
+                        )
                 map_index = self.engine.build_map_index(global_map)
             first_iter = False
             kf_hist.append(frame)

@@ -959,15 +959,40 @@ class RefinementEngine:
         compact_period = int(cfg.MODEL.get("compact_period", 0) or 0)
         compact_voxel = float(cfg.MODEL.get("compact_live_voxel", 0.01)
                               or 0.01)
+        # "voxel" = spatial merge at compact_live_voxel (pose-free, but a
+        # gate-scale voxel also collapses distinct neighboring-pixel
+        # surfels); "projective" = same-pixel + dist_th depth bin + angle_th
+        # normal gate as seen from the just-fused keyframe — scatter-fusion
+        # merge semantics (see slam/compact.py).
+        compact_mode = str(cfg.MODEL.get("compact_mode", "voxel") or "voxel")
+        if compact_mode not in ("voxel", "projective"):
+            raise ValueError(
+                f"MODEL.compact_mode must be voxel/projective, got "
+                f"{compact_mode!r}"
+            )
+        H, W = int(cfg.DATA.height), int(cfg.DATA.width)
+        dist_th = float(cfg.MODEL.get("dist_th", 0.05) or 0.05)
+        angle_th = float(cfg.MODEL.get("angle_th", 20.0) or 20.0)
 
-        def maybe_compact(ms: MapState, event_i):
+        def compact_one(m: MapState, pose, K) -> MapState:
+            from e2eslam_tpu.slam.compact import (
+                compact_map,
+                compact_map_projective,
+            )
+
+            if compact_mode == "projective":
+                return compact_map_projective(
+                    m, pose, K, height=H, width=W, dist_gate=dist_th,
+                    normal_gate_deg=angle_th,
+                )
+            return compact_map(m, voxel=compact_voxel)
+
+        def maybe_compact(ms: MapState, event_i, pose, K):
             if compact_period <= 0:
                 return ms
-            from e2eslam_tpu.slam.compact import compact_map
-
             return jax.lax.cond(
                 (event_i + 1) % compact_period == 0,
-                lambda m: compact_map(m, voxel=compact_voxel),
+                lambda m: compact_one(m, pose, K),
                 lambda m: m,
                 ms,
             )
@@ -984,7 +1009,7 @@ class RefinementEngine:
             state, map_state, m0, p0 = process(
                 state, pair0, map_state, sub, fuse_prev=True
             )
-            map_state = maybe_compact(map_state, jnp.int32(0))
+            map_state = maybe_compact(map_state, jnp.int32(0), p0, K)
 
             def body(carry, event):
                 st, ms, key = carry
@@ -994,7 +1019,7 @@ class RefinementEngine:
                 st, ms, metrics, est = process(
                     st, pair, ms, sub, fuse_prev=False
                 )
-                ms = maybe_compact(ms, ei)
+                ms = maybe_compact(ms, ei, est, pair.intrinsics)
                 return (st, ms, key), (metrics, est)
 
             E = prev_idx.shape[0]

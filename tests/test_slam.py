@@ -560,6 +560,94 @@ def test_compact_map_remaps_index_images(seq):
     assert float(np.median(d)) < 0.02
 
 
+def test_compact_map_projective_semantics():
+    """compact_map_projective reproduces the scatter-fusion merge criterion
+    (same pixel + dist_th depth bin + angle_th normal gate): co-ray
+    duplicates merge; neighboring-pixel surfels closer than the gate in 3D
+    survive (a voxel merge at gate scale collapses them — the
+    8_compaction_r4.log over-shrink); opposing normals and out-of-view
+    points survive."""
+    from e2eslam_tpu.slam.compact import compact_map, compact_map_projective
+    from e2eslam_tpu.slam.pointclouds import empty_map, pack_rows
+
+    pose = jnp.eye(4)
+    K = jnp.diag(jnp.asarray([100.0, 100.0, 1.0, 1.0]))
+    K = K.at[0, 2].set(32.0).at[1, 2].set(32.0)
+    nz = np.asarray([0.0, 0.0, -1.0], np.float32)
+    pts = np.asarray([
+        [0.0, 0.0, 2.0],      # a1: pixel (32,32), zbin 40  ┐ merge
+        [0.0, 0.0, 2.02],     # a2: same pixel, same zbin   ┘
+        [0.06, 0.0, 2.0],     # b1: pixel 35 ┐ 2 cm apart in 3D but
+        [0.08, 0.0, 2.0],     # b2: pixel 36 ┘ distinct pixels -> survive
+        [0.5, 0.0, 2.0],      # c1: pixel 57 ┐ same pixel+bin but
+        [0.5, 0.0, 2.01],     # c2: pixel 57 ┘ opposing normals -> survive
+        [10.0, 0.0, 2.0],     # d1: out of view ┐ survive (unique
+        [10.0, 0.0, 2.005],   # d2: out of view ┘ per-row coords)
+        [0.0, 0.0, -1.0],     # e: behind the camera -> survives
+    ], np.float32)
+    nrm = np.tile(nz, (len(pts), 1))
+    nrm[5] = -nz  # c2 opposes c1
+    n = len(pts)
+    m = empty_map(n + 7)
+    rows = pack_rows(
+        jnp.asarray(pts), jnp.asarray(nrm),
+        jnp.full((n, 3), 0.5), jnp.ones((n,)),
+    )
+    m = m._replace(data=m.data.at[:n].set(rows),
+                   count=jnp.asarray(n, jnp.int32))
+
+    c = compact_map_projective(m, pose, K, height=64, width=64,
+                               dist_gate=0.05, normal_gate_deg=20.0)
+    assert int(c.count) == n - 1  # exactly the a-pair merged
+    out = np.asarray(c.points[: int(c.count)])
+    # the merged a-surfel is the confidence-weighted midpoint
+    d = np.linalg.norm(out - np.asarray([0.0, 0.0, 2.01]), axis=-1)
+    assert float(d.min()) < 1e-3
+    # b-pair survived separately (projective), but a voxel merge at the
+    # same 5 cm scale collapses them — the semantic difference under test.
+    bsep = np.linalg.norm(out - pts[2], axis=-1).min()
+    assert float(bsep) < 1e-6
+    cv = compact_map(m, voxel=0.05)
+    assert int(cv.count) < n - 1  # voxel also merges the b-pair
+    # total confidence conserved
+    np.testing.assert_allclose(
+        float(jnp.sum(c.confidence[: int(c.count)])), float(n), rtol=1e-5
+    )
+
+
+def test_sequence_program_projective_compaction(seq):
+    """MODEL.compact_mode=projective inside the whole-sequence program:
+    compaction buckets by the just-fused keyframe's camera, index images
+    survive the row remap, and quality is preserved (the projective gate
+    only merges what scatter fusion would have merged)."""
+    from e2eslam_tpu.config import default_config_path, load_yaml
+    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+
+    def run(period):
+        cfg = load_yaml(default_config_path())
+        cfg.DATA.name = "synthetic"
+        cfg.DATA.height, cfg.DATA.width = 64, 64
+        cfg.DEMO.sequence_length = 8
+        cfg.DEMO.frame_threshold = 0.01
+        cfg.DATA.dilation = 4
+        cfg.OPTIMIZATION.refinement_steps = 1
+        cfg.LOSS.three3d_loss = True
+        cfg.MODEL.fusion_impl = "index"
+        cfg.LOSS.knn_impl = "index"
+        cfg.MODEL.compact_period = period
+        cfg.MODEL.compact_mode = "projective"
+        return OnlineAdaptation(cfg).run(verbose=False)
+
+    base = run(0)
+    comp = run(3)
+    assert comp["num_keyframes"] == base["num_keyframes"]
+    assert np.isfinite(comp["mean_abs_rel"])
+    assert comp["map_points"] <= base["map_points"]
+    # Projective merges are the ones scatter fusion would have made, so
+    # quality holds much tighter than the voxel mode's 2.5x allowance.
+    assert comp["mean_abs_rel"] < max(1.5 * base["mean_abs_rel"], 0.3)
+
+
 def test_sequence_program_periodic_compaction(seq):
     """MODEL.compact_period: the whole-sequence program compacts the live
     map every K keyframes under lax.cond, index images survive via the row

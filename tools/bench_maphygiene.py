@@ -29,36 +29,52 @@ import json
 from bench_hardmode import flagship_config, run_row  # noqa: E402
 
 
-def compaction_rows():
+def compaction_rows(steady=False):
     """Periodic IN-SEQUENCE compaction vs the scatter-fusion density anchor
     (VERDICT r3 #8 / weak #7): the flagship's live map carries ~27% more
-    points than scatter fusion's (~4.0M vs ~3.1M) because depth noise
-    (~15 cm at abs_rel ~0.08) exceeds the 0.05 m merge gate. Rows:
+    points than scatter fusion's (~4.0M vs ~3.1M) — index-window
+    association misses appending re-observations scatter would have
+    merged. Rows:
 
       1. flagship r4 (no compaction)            — raw live density
-      2. + compact_period 10, voxel 0.02/0.03   — in-program hash-bucket
-         merge every 10 keyframes (slam/compact.py under a scalar lax.cond)
-      3. scatter-fusion anchor (fusion_impl=scatter + projective assoc) —
+      2. + compact_period 10, PROJECTIVE mode   — same-pixel + dist_th bin
+         + angle_th normal gate from the just-fused keyframe: the merges
+         scatter fusion itself would have made (slam/compact.py)
+      3. + compact_period 10, voxel 0.02        — the r4a voxel row
+         (over-merges: 8_compaction_r4.log showed 0.37x density at
+         abs_rel 0.077 -> 0.104)
+      4. scatter-fusion anchor (fusion_impl=scatter + projective assoc) —
          the density target
 
-    The done-bar is live density within ~10-15% of scatter at equal abs_rel.
+    The done-bar is live density within ~10-15% of scatter at equal
+    abs_rel. ``steady=True`` runs each row twice and reports the second
+    (warm-compile) timing — the r4a log's steps/s were compile-confounded.
     """
+    def row(cfg, label):
+        if steady:
+            run_row(cfg, label + " [warmup]")
+        return run_row(cfg, label)
+
     rows = {}
     base = flagship_config()
-    rows["flagship"] = run_row(base, "flagship r4 (no compaction)")
+    rows["flagship"] = row(base, "flagship r4 (no compaction)")
 
-    for voxel in (0.02, 0.03):
-        c = base.copy()
-        c.MODEL.compact_period = 10
-        c.MODEL.compact_live_voxel = voxel
-        rows[f"compact_{voxel}"] = run_row(
-            c, f"flagship + compact_period 10 voxel {voxel}"
-        )
+    proj = base.copy()
+    proj.MODEL.compact_period = 10
+    proj.MODEL.compact_mode = "projective"
+    rows["compact_projective"] = row(
+        proj, "flagship + compact_period 10 projective"
+    )
+
+    c = base.copy()
+    c.MODEL.compact_period = 10
+    c.MODEL.compact_live_voxel = 0.02
+    rows["compact_0.02"] = row(c, "flagship + compact_period 10 voxel 0.02")
 
     anchor = flagship_config()
     anchor.MODEL.fusion_impl = "scatter"
     anchor.LOSS.knn_impl = "projective"
-    rows["scatter_anchor"] = run_row(anchor, "scatter-fusion density anchor")
+    rows["scatter_anchor"] = row(anchor, "scatter-fusion density anchor")
 
     tgt = rows["scatter_anchor"]["map_points"]
     print(json.dumps({
@@ -76,6 +92,8 @@ def main():
     ap.add_argument("--compaction-row", action="store_true",
                     help="run the periodic-compaction density rows instead "
                          "of the dedup-knob ladder")
+    ap.add_argument("--steady", action="store_true",
+                    help="run each compaction row twice, report the warm run")
     args = ap.parse_args()
 
     from e2eslam_tpu.config import enable_compilation_cache
@@ -83,7 +101,7 @@ def main():
     enable_compilation_cache()
 
     if args.compaction_row:
-        compaction_rows()
+        compaction_rows(steady=args.steady)
         return
 
     base = flagship_config()
