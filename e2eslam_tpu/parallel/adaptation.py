@@ -79,6 +79,40 @@ class ParallelAdaptation:
         compact_voxel = float(
             config.MODEL.get("compact_live_voxel", 0.01) or 0.01
         )
+        compact_mode = str(
+            config.MODEL.get("compact_mode", "voxel") or "voxel"
+        )
+        _H, _W = int(config.DATA.height), int(config.DATA.width)
+        _dist_th = float(config.MODEL.get("dist_th", 0.05) or 0.05)
+        _angle_th = float(config.MODEL.get("angle_th", 20.0) or 20.0)
+
+        def compact_batch(maps, est, K, act):
+            """Vmapped live-map compaction (see slam/compact.py).
+
+            Projective mode buckets by the just-fused keyframe's camera
+            (per-sequence ``est`` pose); sequences whose event was inactive
+            keep their old map — their est pose is garbage and a real-but-
+            wrong camera could merge unrelated surfels.
+            """
+            from e2eslam_tpu.slam.compact import (
+                compact_map,
+                compact_map_projective,
+            )
+
+            if compact_mode == "projective":
+                comp = jax.vmap(
+                    lambda m, p, k: compact_map_projective(
+                        m, p, k, height=_H, width=_W, dist_gate=_dist_th,
+                        normal_gate_deg=_angle_th,
+                    )
+                )(maps, est, K)
+                sel = lambda n, o: jnp.where(
+                    act.reshape((-1,) + (1,) * (n.ndim - 1)), n, o
+                )
+                return jax.tree_util.tree_map(sel, comp, maps)
+            return jax.vmap(lambda m: compact_map(m, voxel=compact_voxel))(
+                maps
+            )
 
         def event_body(state, ms, colors, depths, K, poses,
                        prev_i, cur_i, act, rng, *, fuse_prev):
@@ -106,14 +140,12 @@ class ParallelAdaptation:
         vbody0 = jax.vmap(functools.partial(event_body, fuse_prev=True))
         vbody = jax.vmap(functools.partial(event_body, fuse_prev=False))
 
-        def maybe_compact(maps, ei):
+        def maybe_compact(maps, ei, est, K, act):
             if compact_period <= 0:
                 return maps
-            from e2eslam_tpu.slam.compact import compact_map
-
             return jax.lax.cond(
                 (ei + 1) % compact_period == 0,
-                jax.vmap(lambda m: compact_map(m, voxel=compact_voxel)),
+                lambda m: compact_batch(m, est, K, act),
                 lambda m: m,
                 maps,
             )
@@ -125,7 +157,7 @@ class ParallelAdaptation:
                 state, maps, colors, depths, K, poses,
                 prev_idx[:, 0], cur_idx[:, 0], active[:, 0], rngs[:, 0],
             )
-            maps = maybe_compact(maps, jnp.int32(0))
+            maps = maybe_compact(maps, jnp.int32(0), est0, K, active[:, 0])
 
             def body(carry, xs):
                 state, maps = carry
@@ -133,7 +165,7 @@ class ParallelAdaptation:
                 state, maps, last, est = vbody(
                     state, maps, colors, depths, K, poses, pi, ci, act, rng
                 )
-                maps = maybe_compact(maps, ei)
+                maps = maybe_compact(maps, ei, est, K, act)
                 return (state, maps), (last, est)
 
             E = prev_idx.shape[1]
@@ -162,6 +194,32 @@ class ParallelAdaptation:
             donate_argnums=(0, 1),
         )
 
+        # Per-EVENT dispatches (bounded executions) for large N: the
+        # whole-run single dispatch is a multi-minute XLA execution at
+        # N >= 8, which the tunneled TPU worker kills (the exact benches
+        # hit the same ceiling — 3_batched_r4.log, 2_exact_r4{,b}.log).
+        # One dispatch per keyframe event bounds each execution to seconds
+        # at ~ms of host latency per event (noise against multi-second
+        # events). Same event_body, so numerics are identical to whole-run
+        # (pinned by tests/test_parallel.py::test_event_dispatch_matches_whole_run).
+        self._event0 = jax.jit(
+            vbody0, in_shardings=(data,) * 10,
+            out_shardings=(data,) * 4, donate_argnums=(0, 1),
+        )
+        self._event = jax.jit(
+            vbody, in_shardings=(data,) * 10,
+            out_shardings=(data,) * 4, donate_argnums=(0, 1),
+        )
+        self._compact_period = compact_period
+        if compact_period > 0:
+            self._compact = jax.jit(
+                compact_batch,
+                in_shardings=(data,) * 4, out_shardings=data,
+                donate_argnums=(0,),
+            )
+        else:
+            self._compact = None
+
     def init_state(self, params, batch_stats, pair_shape) -> RefineState:
         return self.par.init_state(params, batch_stats, pair_shape)
 
@@ -169,7 +227,7 @@ class ParallelAdaptation:
         return self.par.init_maps()
 
     def run(self, state: RefineState, sequences, *, threshold: float,
-            rng=None) -> Dict:
+            rng=None, dispatch: str = "auto") -> Dict:
         """Adapt all sequences to completion.
 
         Args:
@@ -178,6 +236,11 @@ class ParallelAdaptation:
             intrinsics [N,4,4], poses [N,L,4,4])`` (host or device).
           threshold: keyframe camera-center distance threshold
             (``DEMO.frame_threshold``).
+          dispatch: ``"whole"`` = the entire run in ONE XLA dispatch
+            (lowest overhead; the tunneled worker kills executions past a
+            few minutes, so only safe for small N); ``"event"`` = one
+            dispatch per keyframe event (bounded executions, ~ms host cost
+            per event); ``"auto"`` = event when N >= 8.
         """
         colors, gt_depths, intrinsics, poses = sequences
         poses_np = np.asarray(jax.device_get(poses))
@@ -216,16 +279,46 @@ class ParallelAdaptation:
         maps = self.init_maps()
         rng = jax.random.key(2) if rng is None else rng
 
-        # ONE dispatch for the entire multi-sequence run: scan over padded
-        # event schedules with masked commits, vmapped over the mesh.
+        mode = dispatch
+        if mode == "auto":
+            mode = "event" if N >= 8 else "whole"
+        if mode not in ("whole", "event"):
+            raise ValueError(f"dispatch must be whole/event/auto, got {mode}")
+
         rngs = jax.random.split(rng, N * E).reshape(N, E)
-        state, maps, metrics, est = self._whole_run(
-            state, maps, colors, gt_depths, intrinsics, poses,
-            shard_leading(self.mesh, jnp.asarray(prev_idx)),
-            shard_leading(self.mesh, jnp.asarray(cur_idx)),
-            shard_leading(self.mesh, jnp.asarray(active)),
-            shard_leading(self.mesh, rngs),
-        )
+        pi = shard_leading(self.mesh, jnp.asarray(prev_idx))
+        ci = shard_leading(self.mesh, jnp.asarray(cur_idx))
+        act = shard_leading(self.mesh, jnp.asarray(active))
+        rngs = shard_leading(self.mesh, rngs)
+
+        if mode == "whole":
+            # ONE dispatch for the entire multi-sequence run: scan over
+            # padded event schedules with masked commits, vmapped over the
+            # mesh.
+            state, maps, metrics, est = self._whole_run(
+                state, maps, colors, gt_depths, intrinsics, poses,
+                pi, ci, act, rngs,
+            )
+        else:
+            # Bounded per-event dispatches (see __init__). Metrics and
+            # estimates stay on device (async) until the single final sync.
+            per_event, ests = [], []
+            for e in range(E):
+                fn = self._event0 if e == 0 else self._event
+                state, maps, last, est_e = fn(
+                    state, maps, colors, gt_depths, intrinsics, poses,
+                    pi[:, e], ci[:, e], act[:, e], rngs[:, e],
+                )
+                if self._compact is not None and (
+                    e + 1
+                ) % self._compact_period == 0:
+                    maps = self._compact(maps, est_e, intrinsics, act[:, e])
+                per_event.append(last)
+                ests.append(est_e)
+            metrics = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs, axis=1), *per_event
+            )
+            est = jnp.stack(ests, axis=1)
 
         # One host sync at the end. metrics leaves are [N, E, ...]; reshape
         # to the per-event list layout the result packaging expects.

@@ -434,3 +434,62 @@ def test_batched_periodic_compaction():
         assert np.isfinite(rc["mean_abs_rel"])
         # Compaction merges surfels; it must not destroy the supervision map.
         assert rc["mean_abs_rel"] < max(2.5 * rb["mean_abs_rel"], 0.5)
+
+
+def test_event_dispatch_matches_whole_run():
+    """dispatch="event" (bounded per-event dispatches, the N>=8 mode that
+    avoids the tunneled worker's multi-minute single-execution kill) runs
+    the SAME event_body as the whole-run program — per-sequence metrics,
+    trajectories, and final map counts must match bitwise, including
+    periodic compaction at the same cadence."""
+    from e2eslam_tpu.parallel.adaptation import ParallelAdaptation
+
+    cfg = load_yaml(default_config_path())
+    cfg.DATA.name = "synthetic"
+    cfg.DATA.height, cfg.DATA.width = H, W
+    cfg.DEMO.sequence_length = 6
+    cfg.DEMO.frame_threshold = 0.01
+    cfg.OPTIMIZATION.refinement_steps = 1
+    cfg.LOSS.three3d_loss = True
+    cfg.MODEL.fusion_impl = "index"
+    cfg.LOSS.knn_impl = "index"
+    cfg.MODEL.compact_period = 2
+    cfg.MODEL.compact_live_voxel = 0.03
+    cfg.DEBUG.print_metrics = False
+
+    L = int(cfg.DEMO.sequence_length)
+    ds = SyntheticDataset(seqlen=L, height=H, width=W, dilation=2, stride=3,
+                          total_frames=3 * L + 8)
+    items = [ds[i] for i in range(2)]
+    colors = np.stack([it[0] / 255.0 for it in items]).astype(np.float32)
+    depths = np.stack([it[1] for it in items]).astype(np.float32)
+    Ks = np.stack([it[2] for it in items]).astype(np.float32)
+    poses = np.stack([it[3] for it in items]).astype(np.float32)
+
+    model = make_depth_model(cfg)
+    params, stats = init_depth_model(model, jax.random.key(0), H, W)
+    capacity = L * H * W
+    cfg.MODEL.map_capacity = capacity
+
+    def run(dispatch):
+        par = ParallelAdaptation(cfg, model, map_capacity=capacity,
+                                 mesh=make_mesh(1), n_seq=2)
+        return par.run(
+            par.init_state(params, stats, (2, H, W)),
+            (colors, depths, Ks, poses),
+            threshold=float(cfg.DEMO.frame_threshold),
+            dispatch=dispatch,
+        )
+
+    whole = run("whole")
+    event = run("event")
+    cw = np.asarray(jax.device_get(whole["maps"].count))
+    ce = np.asarray(jax.device_get(event["maps"].count))
+    np.testing.assert_array_equal(ce, cw)
+    for rw, re in zip(whole["per_sequence"], event["per_sequence"]):
+        assert re["num_keyframes"] == rw["num_keyframes"]
+        np.testing.assert_array_equal(
+            np.asarray(re["per_pair_abs_rel"]),
+            np.asarray(rw["per_pair_abs_rel"]),
+        )
+        np.testing.assert_array_equal(re["est_poses"], rw["est_poses"])

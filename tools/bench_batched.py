@@ -57,7 +57,7 @@ def make_sequences(b, seq_len, h, w):
 
 
 def bench_one(cfg, b, sequences, *, runs=2, profile_dir=None,
-              capacity_frames=None):
+              capacity_frames=None, dispatch="auto"):
     from e2eslam_tpu.models.depth_net import (
         init_depth_model,
         make_depth_model,
@@ -93,7 +93,8 @@ def bench_one(cfg, b, sequences, *, runs=2, profile_dir=None,
         if tracing:
             jax.profiler.start_trace(profile_dir)
         t0 = time.perf_counter()
-        out = par.run(state, sequences, threshold=threshold)
+        out = par.run(state, sequences, threshold=threshold,
+                      dispatch=dispatch)
         elapsed = time.perf_counter() - t0
         if tracing:
             jax.profiler.stop_trace()
@@ -143,6 +144,12 @@ def main():
                     help="compact each live map every K keyframe events "
                          "inside the whole-run program (MODEL.compact_period)")
     ap.add_argument("--compact-voxel", type=float, default=0.01)
+    ap.add_argument("--dispatch", choices=["auto", "whole", "event"],
+                    default="auto",
+                    help="whole = entire run in ONE XLA dispatch (the "
+                         "tunneled worker kills multi-minute executions, so "
+                         "only safe for small B); event = one dispatch per "
+                         "keyframe event; auto = event when B >= 8")
     args = ap.parse_args()
 
     # The axon TPU plugin ignores the JAX_PLATFORMS env var and blocks on a
@@ -190,6 +197,7 @@ def main():
         rec = bench_one(
             cfg, b, seqs, runs=args.runs,
             capacity_frames=args.capacity_frames,
+            dispatch=args.dispatch,
             profile_dir=(
                 os.path.join(args.profile_dir, f"b{b}")
                 if args.profile_dir else None
