@@ -353,7 +353,18 @@ class RefinementEngine:
         initial_depths: Array,
         rng: Array,
         map_index=None,
+        knn_init=None,
     ) -> Tuple[Array, Dict[str, Array]]:
+        """...
+
+        ``knn_init``: optional dict of warm-start NN indices for the BRUTE
+        (exact-semantics) KNN branches — keys "three3d"/"ab" (frame->map)
+        and "ba" (map->frame), typically the previous refinement step's
+        indices (queries move ~mm per Adam step at lr 1e-5, so the old NN
+        seeds a near-optimal branch-and-bound threshold; see ops/knn.py).
+        When any brute branch runs, the step's indices come back in
+        aux["_knn_idx"] (same keys) for the caller to thread.
+        """
         cfg = self.config
         L = cfg.LOSS
         F = pair.colors.shape[0]
@@ -512,6 +523,7 @@ class RefinementEngine:
             # computed (identical inputs) instead of projecting the map /
             # reading the index image twice per step.
             assoc_cache = None
+            brute_idx_ab = None
             if L.three3d_loss or L.knn_points:
                 if impl == "index":
                     # O(HW) association via the cached index image (gathers
@@ -593,7 +605,14 @@ class RefinementEngine:
                     w3 = msk * found.astype(msk.dtype)
                     knn_l = gate * _masked_point_loss(pts, nn, w3, scale=tex)
                 else:
-                    _, idx = knn_points_loss(map_pts, pts, n_gt=map_count)
+                    ki = None if knn_init is None else knn_init.get("three3d")
+                    _, idx = knn_points_loss(
+                        map_pts, pts, n_gt=map_count, init_idx=ki
+                    )
+                    # Warm-start cache for the NEXT refinement step (and for
+                    # the chamfer a->b below — identical query/ref clouds).
+                    brute_idx_ab = idx
+                    aux.setdefault("_knn_idx", {})["three3d"] = idx
                     nn = jnp.take(map_pts, idx, axis=0)
                     knn_l = gate * _masked_point_loss(pts, nn, msk, scale=tex)
                 w = float(L.three3d_loss_weight) if L.three3d_loss else float(
@@ -667,9 +686,19 @@ class RefinementEngine:
                     # invalid queries far away.
                     from e2eslam_tpu.ops.knn import knn
 
-                    idx_ab = jax.lax.stop_gradient(
-                        knn(jax.lax.stop_gradient(pts), map_pts, map_count)[1]
-                    )
+                    if brute_idx_ab is not None:
+                        # The three3d brute branch just ran the IDENTICAL
+                        # search (same query/ref clouds) — reuse its result
+                        # instead of paying a second full KNN this step.
+                        idx_ab = brute_idx_ab
+                    else:
+                        ki_ab = (None if knn_init is None
+                                 else knn_init.get("ab"))
+                        idx_ab = jax.lax.stop_gradient(
+                            knn(jax.lax.stop_gradient(pts), map_pts,
+                                map_count, init_idx=ki_ab)[1]
+                        )
+                    aux.setdefault("_knn_idx", {})["ab"] = idx_ab
                     d_ab = _masked_point_loss(
                         pts, jnp.take(map_pts, idx_ab, axis=0), msk
                     )
@@ -683,10 +712,12 @@ class RefinementEngine:
                     # nq=map_count: the map buffer is fixed-capacity; the
                     # kernel skips query tiles beyond the valid prefix, so
                     # this direction costs O(actual map size), not capacity.
+                    ki_ba = None if knn_init is None else knn_init.get("ba")
                     idx_ba = jax.lax.stop_gradient(
                         knn(map_pts, jax.lax.stop_gradient(pts_safe),
-                            nq=map_count)[1]
+                            nq=map_count, init_idx=ki_ba)[1]
                     )
+                    aux.setdefault("_knn_idx", {})["ba"] = idx_ba
                     mvalid = (
                         jnp.arange(map_pts.shape[0]) < map_count
                     ).astype(jnp.float32)
@@ -716,7 +747,8 @@ class RefinementEngine:
             leaves.append(jnp.zeros_like(leaf) if frozen else jnp.ones_like(leaf))
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
-    def _make_pft_step(self, *, return_grads: bool = False):
+    def _make_pft_step(self, *, return_grads: bool = False,
+                       return_knn_cache: bool = False):
         cfg = self.config
         # Observability gates are Python constants: XLA compiles the extra
         # outputs only when they are enabled (VERDICT r1 item 6).
@@ -735,7 +767,7 @@ class RefinementEngine:
         )
 
         def step(state: RefineState, pair: PairBatch, map_state: MapState,
-                 map_index, rng):
+                 map_index, rng, knn_init=None):
             taps = None
             if obs_tap_grads:
                 from e2eslam_tpu.models.decoders import decoder_tap_shapes
@@ -765,7 +797,7 @@ class RefinementEngine:
                 outputs = self._view_synthesis(pair, depth)
                 loss, aux = self._assemble_losses(
                     pair, disp, depth, outputs, map_state, init, rng,
-                    map_index=map_index,
+                    map_index=map_index, knn_init=knn_init,
                 )
                 aux["depth"] = depth
                 aux["init"] = init
@@ -819,6 +851,11 @@ class RefinementEngine:
 
             depth = aux.pop("depth")
             init = aux.pop("init")
+            # Warm-start NN indices (brute/exact 3D branches only): kept out
+            # of metrics unless the caller threads them (scan carry in
+            # process_pair) — stacked [R, N_map]-sized leaves would bloat
+            # every metrics fetch otherwise.
+            knn_idx = aux.pop("_knn_idx", None)
             metrics = depth_metrics(
                 cfg.DATA.name, pair.gt_depths[TARGET], depth[TARGET]
             )
@@ -843,6 +880,8 @@ class RefinementEngine:
                 initial_depths=init,
                 step=state.step + 1,
             )
+            if return_knn_cache:
+                metrics["_knn_idx"] = knn_idx
             if return_grads:
                 if tap_grads is not None:
                     # Activation gradients at each decoder conv (f32 for
@@ -907,8 +946,26 @@ class RefinementEngine:
     # ------------------------------------------------------------------
     def _make_process_pair(self):
         cfg = self.config
+        L = cfg.LOSS
         R = int(cfg.OPTIMIZATION.refinement_steps)
-        step = self._make_pft_step()
+        # Warm-started exact KNN (brute impl only): thread each step's NN
+        # indices into the next step's search. Between Adam steps at lr
+        # ~1e-5 the predicted points move ~mm, so the previous NN is an
+        # achieved near-optimal bound and the kernel's branch-and-bound
+        # prunes almost every reference tile (ops/knn.py). Step 0 runs
+        # cold OUTSIDE the scan (its indices seed the carry). Results are
+        # exact either way; only tie-breaks can differ from cold (the
+        # candidate wins ties instead of the lowest index — distances,
+        # hence losses, are identical).
+        warm = (
+            R > 1
+            and str(L.get("knn_impl", "brute")) == "brute"
+            and bool(
+                L.three3d_loss or L.get("knn_points") or L.chamfer_distance
+            )
+            and bool(L.get("knn_warm_start", True))
+        )
+        step = self._make_pft_step(return_knn_cache=warm)
         fuse = self._make_fuse_pair()
 
         def process(state: RefineState, pair: PairBatch, map_state: MapState,
@@ -923,7 +980,24 @@ class RefinementEngine:
                 st, metrics = step(st, pair, map_state, map_index, sub)
                 return (st, key), metrics
 
-            if R > 0:
+            def body_warm(carry, _):
+                st, key, kc = carry
+                key, sub = jax.random.split(key)
+                st, metrics = step(st, pair, map_state, map_index, sub,
+                                   knn_init=kc)
+                kc = metrics.pop("_knn_idx")
+                return (st, key, kc), metrics
+
+            if R > 0 and warm:
+                # Cold step 0 (same rng sequence as the single-scan path).
+                rng, sub = jax.random.split(rng)
+                state, m0 = step(state, pair, map_state, map_index, sub)
+                kcache = m0.pop("_knn_idx")
+                (state, _, _), metrics = jax.lax.scan(
+                    body_warm, (state, rng, kcache), None, length=R - 1
+                )
+                last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
+            elif R > 0:
                 (state, _), metrics = jax.lax.scan(
                     body, (state, rng), None, length=R
                 )
@@ -1063,6 +1137,10 @@ class RefinementEngine:
             updates, opt_state = self.optimizer.update(grads, opt_state, depths)
             depths = optax.apply_updates(depths, updates)
 
+            # OFT does not thread the warm-start cache (yet): drop the
+            # brute branches' NN indices so the scanned metrics don't stack
+            # [R, N_map]-sized leaves.
+            aux.pop("_knn_idx", None)
             metrics = depth_metrics(
                 cfg.DATA.name, pair.gt_depths[TARGET], depth[TARGET]
             )
@@ -1147,6 +1225,7 @@ class RefinementEngine:
             (loss, (aux, depth)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(scale_params)
+            aux.pop("_knn_idx", None)  # SCALE mode doesn't thread the cache
             updates, opt_state = self.optimizer.update(
                 grads, opt_state, scale_params
             )

@@ -37,6 +37,7 @@ def knn_points_loss(
     *,
     n_gt=None,
     n_query=None,
+    init_idx=None,
 ) -> Tuple[Array, Array]:
     """Mean squared distance from each query point to its NN in ``gt_points``.
 
@@ -45,6 +46,9 @@ def knn_points_loss(
       gt_points: ``[Ng, 3]`` reference cloud.
       query_points: ``[Nq, 3]`` cloud being optimized.
       n_gt / n_query: optional valid counts for fixed-capacity buffers.
+      init_idx: optional ``[Nq]`` warm-start NN candidates (-1 = none) —
+        seeds the TPU kernel's branch-and-bound; exact either way (see
+        ops/knn.py).
 
     Returns:
       (loss scalar, nn indices ``[Nq]`` int32 — already non-differentiable).
@@ -61,6 +65,7 @@ def knn_points_loss(
         jax.lax.stop_gradient(gt_points),
         n_gt,
         n_query,
+        init_idx=init_idx,
     )
     idx = jax.lax.stop_gradient(idx)
     nn_pts = jnp.take(gt_points, idx, axis=0)

@@ -76,120 +76,160 @@ def _pad_to(x: Array, size: int, axis: int, value=0.0) -> Array:
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _make_knn_kernel(nrt: int):
+def _make_knn_kernel(nrt: int, warm: bool):
     """Kernel factory closing over the (static) reference tile count.
 
     Reference tiles are visited newest-first: grid step j maps to tile
     ``jr = nrt - 1 - j``, so a sequential SLAM map's most recent appends
     (where the matches are) establish tight bounds before older tiles are
     considered — maximizing branch-and-bound pruning.
+
+    ``warm=True`` adds two inputs (s0_ref [1, QT] f32, i0_ref [1, QT]
+    int32): per-query ACHIEVED initial (score, index) candidates — e.g.
+    the previous refinement step's NN indices re-scored at the current
+    query positions. The accumulators initialize from them instead of
+    -inf, so the branch-and-bound threshold is near-optimal from the
+    first block and almost every tile prunes. Exactness is preserved:
+    an achieved score only ever tightens the bound, and the running max
+    still considers every non-provably-worse reference tile. Queries
+    without a candidate carry score -1e30 (identical to cold start).
+    ``warm=False`` compiles the exact kernel layout verified on chip in
+    0_knncheck_r4c_clamped.log — the cold path is byte-identical.
     """
 
-    def _knn_kernel(nq_ref, nr_ref, rbb_ref, q_ref, r_ref,
-                    score_ref, idx_ref, wb_ref, qbb_ref):
-        """One (query-tile i, ref-tile jr) step of the running-max MXU KNN.
-
-        q_ref: [QT, 4] augmented query block (VMEM) — [qx, qy, qz, 1]
-        r_ref: [4, RT] augmented/transposed ref block (VMEM) —
-          [rx, ry, rz, -0.5|r|^2], bias row -1e30 on invalid rows
-        rbb_ref: [n_tiles, 8] WHOLE-ARRAY ref tile bboxes
-          [minx,miny,minz,maxx,maxy,maxz,0,0] in SMEM via scalar prefetch,
-          dynamically indexed by jr. At RT=8192 even a 16M-point capacity
-          is <2k tiles x 32 B — tens of KB against the ~1 MB SMEM.
-          (Per-step (1, 8) SMEM *blocks* are rejected by the Mosaic
-          lowering: block sublane dims must be multiples of 8 or the full
-          array dim.)
-        qbb_ref: [8] SMEM scratch — THIS query tile's bbox, computed
-          in-kernel at j==0 from q_ref (a [QT] VPU min/max per axis).
-          The query side must NOT use a prefetched whole-array table: at
-          _QT=256 the table scales with the QUERY count, and in the exact
-          chamfer's map->frame direction the multi-M-point map is the
-          query (refine.py map->frame KNN) — a 4.5M-point query cloud
-          would need ~566 KB and >8M points overflows the ~1 MB SMEM.
-        score_ref/idx_ref: [8, QT] running accumulators (VMEM-resident
-          across j; 8 replicated sublane rows = TPU (8, 128) tile minimum)
-        wb_ref: [1, 1] SMEM scratch — the tile's current WORST best squared
-          distance (the branch-and-bound pruning threshold)
-        nq_ref, nr_ref: [1] scalars — valid query / reference counts
-        """
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        jr = nrt - 1 - j  # newest-first
-
-        @pl.when(j == 0)
-        def _init():
-            score_ref[...] = jnp.full_like(score_ref, _NEG)
-            idx_ref[...] = jnp.zeros_like(idx_ref)
-            wb_ref[0, 0] = jnp.float32(jnp.inf)
-            # Query tile bbox (computed once per i; the grid iterates j
-            # innermost so SMEM scratch persists across the j sweep).
-            # Padded query rows are zeros and only WIDEN the bbox — the
-            # bound stays valid, matching the old precomputed-table
-            # semantics exactly.
-            for ax in range(3):
-                qbb_ref[ax] = jnp.min(q_ref[:, ax])
-                qbb_ref[3 + ax] = jnp.max(q_ref[:, ax])
-
-        # Bbox lower bound between every q in tile i and every r in tile jr:
-        # per-axis gap max(0, qmin - rmax, rmin - qmax), summed squared.
-        lb2 = jnp.float32(0.0)
-        for ax in range(3):
-            gap = jnp.maximum(
-                jnp.maximum(qbb_ref[ax] - rbb_ref[jr, 3 + ax],
-                            rbb_ref[jr, ax] - qbb_ref[3 + ax]),
-                0.0,
-            )
-            lb2 = lb2 + gap * gap
-
-        # Skip: ref tiles beyond the valid count (fixed-capacity buffers),
-        # query tiles beyond the valid queries, and — the branch-and-bound
-        # cut — blocks whose bbox bound can't beat the current worst best.
-        # The DMA still streams skipped blocks; compute is elided.
-        run = (
-            (jr * _RT < nr_ref[0])
-            & (i * _QT < nq_ref[0])
-            & (lb2 < wb_ref[0, 0])
-        )
-
-        @pl.when(run)
-        def _body():
-            # HIGHEST precision (6-pass f32): DEFAULT truncates f32
-            # operands to bf16, whose ~8-bit mantissa (abs err ~0.4 on
-            # meter-scale scores) would corrupt the argmax winner; HIGH
-            # (3-pass) would suffice for ranking but Mosaic only lowers
-            # DEFAULT/HIGHEST. K=4 keeps the 6-pass matmul cheap relative
-            # to the [QT, RT] reduction it feeds. Measured on chip: the
-            # 82k x 1.57M exact query runs 1336 ms uniform / 223 ms on a
-            # SLAM-layout map (branch-and-bound engaged).
-            scores = jnp.dot(
-                q_ref[...], r_ref[...],
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [QT, RT] — q.r - 0.5|r|^2 on the MXU
-            tile_max = jnp.max(scores, axis=1)  # [QT]
-            tile_arg = jnp.argmax(scores, axis=1).astype(jnp.int32) + jr * _RT
-
-            cur = score_ref[0, :]
-            better = tile_max > cur
-            new_s = jnp.where(better, tile_max, cur)
-            new_i = jnp.where(better, tile_arg, idx_ref[0, :])
-            score_ref[...] = jnp.broadcast_to(new_s[None, :], score_ref.shape)
-            idx_ref[...] = jnp.broadcast_to(new_i[None, :], idx_ref.shape)
-
-            # Update the pruning threshold: worst (max) best squared distance
-            # over the VALID queries of this tile. d^2 = |q|^2 - 2*score;
-            # |q|^2 is recovered from the augmented block (4th lane is 1).
-            q2 = jnp.sum(q_ref[...] * q_ref[...], axis=1) - 1.0  # [QT]
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, _QT), 1)[0]
-            valid = (i * _QT + col) < nq_ref[0]
-            d2 = jnp.where(valid, q2 - 2.0 * new_s, -jnp.inf)
-            wb_ref[0, 0] = jnp.max(d2)
+    def _knn_kernel(nq_ref, nr_ref, rbb_ref, q_ref, r_ref, *refs):
+        if warm:
+            s0_ref, i0_ref, score_ref, idx_ref, wb_ref, qbb_ref = refs
+        else:
+            score_ref, idx_ref, wb_ref, qbb_ref = refs
+            s0_ref = i0_ref = None
+        _knn_kernel_body(nq_ref, nr_ref, rbb_ref, q_ref, r_ref,
+                         s0_ref, i0_ref, score_ref, idx_ref, wb_ref,
+                         qbb_ref, nrt=nrt)
 
     return _knn_kernel
 
 
+def _knn_kernel_body(nq_ref, nr_ref, rbb_ref, q_ref, r_ref,
+                     s0_ref, i0_ref, score_ref, idx_ref, wb_ref, qbb_ref,
+                     *, nrt: int):
+    """One (query-tile i, ref-tile jr) step of the running-max MXU KNN.
+
+    q_ref: [QT, 4] augmented query block (VMEM) — [qx, qy, qz, 1]
+    r_ref: [4, RT] augmented/transposed ref block (VMEM) —
+      [rx, ry, rz, -0.5|r|^2], bias row -1e30 on invalid rows
+    rbb_ref: [n_tiles, 8] WHOLE-ARRAY ref tile bboxes
+      [minx,miny,minz,maxx,maxy,maxz,0,0] in SMEM via scalar prefetch,
+      dynamically indexed by jr. At RT=8192 even a 16M-point capacity
+      is <2k tiles x 32 B — tens of KB against the ~1 MB SMEM.
+      (Per-step (1, 8) SMEM *blocks* are rejected by the Mosaic
+      lowering: block sublane dims must be multiples of 8 or the full
+      array dim.)
+    s0_ref/i0_ref: [1, QT] warm-start candidates (VMEM) or None — see
+      _make_knn_kernel.
+    qbb_ref: [8] SMEM scratch — THIS query tile's bbox, computed
+      in-kernel at j==0 from q_ref (a [QT] VPU min/max per axis).
+      The query side must NOT use a prefetched whole-array table: at
+      _QT=256 the table scales with the QUERY count, and in the exact
+      chamfer's map->frame direction the multi-M-point map is the
+      query (refine.py map->frame KNN) — a 4.5M-point query cloud
+      would need ~566 KB and >8M points overflows the ~1 MB SMEM.
+    score_ref/idx_ref: [8, QT] running accumulators (VMEM-resident
+      across j; 8 replicated sublane rows = TPU (8, 128) tile minimum)
+    wb_ref: [1, 1] SMEM scratch — the tile's current WORST best squared
+      distance (the branch-and-bound pruning threshold)
+    nq_ref, nr_ref: [1] scalars — valid query / reference counts
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    jr = nrt - 1 - j  # newest-first
+
+    @pl.when(j == 0)
+    def _init():
+        if s0_ref is None:
+            score_ref[...] = jnp.full_like(score_ref, _NEG)
+            idx_ref[...] = jnp.zeros_like(idx_ref)
+            wb_ref[0, 0] = jnp.float32(jnp.inf)
+        else:
+            s0 = s0_ref[0, 0, :]
+            score_ref[...] = jnp.broadcast_to(s0[None, :], score_ref.shape)
+            idx_ref[...] = jnp.broadcast_to(i0_ref[0, 0, :][None, :],
+                                            idx_ref.shape)
+            # Seed the pruning threshold from the achieved candidates:
+            # d^2 = |q|^2 - 2*score (a _NEG no-candidate score yields a
+            # huge d^2 == no pruning for that query, same as cold start).
+            q2 = jnp.sum(q_ref[...] * q_ref[...], axis=1) - 1.0
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, _QT), 1)[0]
+            valid = (i * _QT + col) < nq_ref[0]
+            d2 = jnp.where(valid, q2 - 2.0 * s0, -jnp.inf)
+            wb_ref[0, 0] = jnp.max(d2)
+        # Query tile bbox (computed once per i; the grid iterates j
+        # innermost so SMEM scratch persists across the j sweep).
+        # Padded query rows are zeros and only WIDEN the bbox — the
+        # bound stays valid, matching the old precomputed-table
+        # semantics exactly.
+        for ax in range(3):
+            qbb_ref[ax] = jnp.min(q_ref[:, ax])
+            qbb_ref[3 + ax] = jnp.max(q_ref[:, ax])
+
+    # Bbox lower bound between every q in tile i and every r in tile jr:
+    # per-axis gap max(0, qmin - rmax, rmin - qmax), summed squared.
+    lb2 = jnp.float32(0.0)
+    for ax in range(3):
+        gap = jnp.maximum(
+            jnp.maximum(qbb_ref[ax] - rbb_ref[jr, 3 + ax],
+                        rbb_ref[jr, ax] - qbb_ref[3 + ax]),
+            0.0,
+        )
+        lb2 = lb2 + gap * gap
+
+    # Skip: ref tiles beyond the valid count (fixed-capacity buffers),
+    # query tiles beyond the valid queries, and — the branch-and-bound
+    # cut — blocks whose bbox bound can't beat the current worst best.
+    # The DMA still streams skipped blocks; compute is elided.
+    run = (
+        (jr * _RT < nr_ref[0])
+        & (i * _QT < nq_ref[0])
+        & (lb2 < wb_ref[0, 0])
+    )
+
+    @pl.when(run)
+    def _body():
+        # HIGHEST precision (6-pass f32): DEFAULT truncates f32
+        # operands to bf16, whose ~8-bit mantissa (abs err ~0.4 on
+        # meter-scale scores) would corrupt the argmax winner; HIGH
+        # (3-pass) would suffice for ranking but Mosaic only lowers
+        # DEFAULT/HIGHEST. K=4 keeps the 6-pass matmul cheap relative
+        # to the [QT, RT] reduction it feeds. Measured on chip: the
+        # 82k x 1.57M exact query runs 1336 ms uniform / 223 ms on a
+        # SLAM-layout map (branch-and-bound engaged).
+        scores = jnp.dot(
+            q_ref[...], r_ref[...],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [QT, RT] — q.r - 0.5|r|^2 on the MXU
+        tile_max = jnp.max(scores, axis=1)  # [QT]
+        tile_arg = jnp.argmax(scores, axis=1).astype(jnp.int32) + jr * _RT
+
+        cur = score_ref[0, :]
+        better = tile_max > cur
+        new_s = jnp.where(better, tile_max, cur)
+        new_i = jnp.where(better, tile_arg, idx_ref[0, :])
+        score_ref[...] = jnp.broadcast_to(new_s[None, :], score_ref.shape)
+        idx_ref[...] = jnp.broadcast_to(new_i[None, :], idx_ref.shape)
+
+        # Update the pruning threshold: worst (max) best squared distance
+        # over the VALID queries of this tile. d^2 = |q|^2 - 2*score;
+        # |q|^2 is recovered from the augmented block (4th lane is 1).
+        q2 = jnp.sum(q_ref[...] * q_ref[...], axis=1) - 1.0  # [QT]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, _QT), 1)[0]
+        valid = (i * _QT + col) < nq_ref[0]
+        d2 = jnp.where(valid, q2 - 2.0 * new_s, -jnp.inf)
+        wb_ref[0, 0] = jnp.max(d2)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def knn_pallas(query: Array, ref: Array, nr=None, nq=None, *,
+def knn_pallas(query: Array, ref: Array, nr=None, nq=None, init_idx=None, *,
                interpret: bool = False):
     """Top-1 KNN: for each query point, nearest reference point.
 
@@ -203,6 +243,15 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, *,
         be masked by the caller). This is what makes the exact chamfer's
         map->frame direction scale with the map's ACTUAL size instead of
         its fixed capacity.
+      init_idx: optional ``[Nq]`` int32 warm-start candidates (-1 = none),
+        e.g. the previous refinement step's NN indices: each candidate's
+        distance is re-scored at the CURRENT positions and seeds the
+        branch-and-bound threshold, so a near-optimal bound holds from the
+        first block and almost every reference tile prunes. Exact: the
+        result is still the true top-1 (the candidate is an achieved
+        score, never a fabricated bound). Out-of-range indices (>= nr)
+        are treated as none — e.g. indices into a map that has since been
+        compacted are simply cold queries.
 
     Returns:
       (sq_dists ``[Nq]`` float32, indices ``[Nq]`` int32; entries past
@@ -254,8 +303,35 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, *,
 
     grid = (nq_pad // _QT, nr_pad // _RT)
     nrt = grid[1]
+    warm = init_idx is not None
+    warm_inputs, warm_specs = [], []
+    if warm:
+        # Re-score each candidate at the CURRENT positions: an ACHIEVED
+        # (score, index) pair the accumulators can initialize from.
+        ii = jnp.asarray(init_idx, jnp.int32)
+        ok = (ii >= 0) & (ii < nr[0])
+        nn0 = jnp.take(r, jnp.clip(ii, 0, Nr - 1), axis=0)  # [Nq, 3]
+        s0 = jnp.sum(q * nn0, axis=1) - 0.5 * jnp.sum(nn0 * nn0, axis=1)
+        s0 = jnp.where(ok, s0, _NEG)
+        i0 = jnp.where(ok, ii, 0)
+        # Layout [n_tiles, 1, QT] with block (1, 1, QT): Mosaic requires a
+        # VMEM block's last-two dims be divisible by (8, 128) OR equal to
+        # the array's — (1, QT) == the array's trailing dims, so this
+        # lowers without replicating rows to a sublane multiple (a flat
+        # [n_tiles, QT] array with (1, QT) blocks is rejected:
+        # 0_knncheck_r4e_warm.log).
+        warm_inputs = [
+            _pad_to(s0, nq_pad, 0, value=_NEG).reshape(-1, 1, _QT),
+            _pad_to(i0, nq_pad, 0).reshape(-1, 1, _QT),
+        ]
+        warm_specs = [
+            pl.BlockSpec((1, 1, _QT), lambda i, j, *s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _QT), lambda i, j, *s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     scores, idx = pl.pallas_call(
-        _make_knn_kernel(nrt),
+        _make_knn_kernel(nrt, warm),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             # nq, nr and the REF bbox table ride scalar prefetch (SMEM whole
             # arrays, dynamically indexed in-kernel): at RT=8192 the table
@@ -302,7 +378,7 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, *,
                     ),
                     memory_space=pltpu.VMEM,
                 ),
-            ],
+            ] + warm_specs,
             out_specs=[
                 pl.BlockSpec((8, _QT), lambda i, j, *s: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -319,7 +395,7 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, *,
             jax.ShapeDtypeStruct((grid[0] * 8, _QT), jnp.int32),
         ],
         interpret=interpret,
-    )(nq, nr, rbb, q4, r4t)
+    )(nq, nr, rbb, q4, r4t, *warm_inputs)
     # Rows are replicated 8x within each tile block; keep row 0 of each.
     best_score = scores[::8].reshape(-1)[:Nq]
     best_idx = idx[::8].reshape(-1)[:Nq]
@@ -367,12 +443,16 @@ def knn_xla(query: Array, ref: Array, nr=None, *, tile: int = 2048):
     return jnp.maximum(best_d, 0.0), best_i
 
 
-def knn(query: Array, ref: Array, nr=None, nq=None):
+def knn(query: Array, ref: Array, nr=None, nq=None, init_idx=None):
     """Backend-dispatching top-1 KNN (Pallas on TPU, XLA elsewhere).
 
     ``nq`` (valid query count): results past it are undefined — the Pallas
     kernel skips those tiles; the XLA fallback computes them anyway.
+    ``init_idx`` (optional warm-start candidates, -1 = none) accelerates
+    the Pallas kernel's branch-and-bound (see knn_pallas); the XLA
+    fallback is full brute force either way, so it ignores them — results
+    are identical by exactness.
     """
     if jax.default_backend() == "tpu":
-        return knn_pallas(query, ref, nr, nq)
+        return knn_pallas(query, ref, nr, nq, init_idx)
     return knn_xla(query, ref, nr)

@@ -388,3 +388,48 @@ def test_oft_window_builds_voxel_index(pair, monkeypatch):
     assert calls, "OFT window must build the configured voxel index"
     assert np.isfinite(float(metrics["total_loss"]))
     assert bool(jnp.isfinite(depths).all())
+
+
+@pytest.mark.slow
+def test_knn_warm_start_matches_cold(pair):
+    """Warm-started exact KNN (LOSS.knn_warm_start, process_pair threads
+    each step's NN indices into the next step's search): on CPU the XLA
+    fallback ignores the warm-start candidates entirely, so the warm and
+    cold PROGRAMS must produce bitwise-identical results — this pins the
+    process_pair restructure (cold step 0 unrolled + R-1 warm scan) to the
+    same rng sequence and numerics as the single cold scan."""
+    def run(warm):
+        cfg = small_config(**{
+            "LOSS.three3d_loss": True,
+            "LOSS.chamfer_distance": True,
+            "LOSS.knn_warm_start": warm,
+        })
+        cfg.OPTIMIZATION.refinement_steps = 3
+        engine, state = _engine_and_state(cfg)
+        slam = PointFusion(odom="gt")
+        gmap, _ = slam(pair.colors, pair.gt_depths, pair.intrinsics,
+                       pair.poses, capacity=2 * H * W)
+        state, new_map, last, est = engine.process_pair(
+            state, pair, gmap, jax.random.key(3), fuse_prev=False
+        )
+        return state, new_map, last
+
+    s_w, m_w, l_w = run(True)
+    s_c, m_c, l_c = run(False)
+    np.testing.assert_array_equal(np.asarray(m_w.count), np.asarray(m_c.count))
+    # The warm and cold programs are DIFFERENT XLA programs (step 0
+    # unrolled vs a single scan), so fusion/reduction order can differ by
+    # ULPs even though the math — including every KNN result — is
+    # identical; require ULP-scale agreement, not bitwise.
+    for k in ("total_loss", "three3d", "chamfer", "abs_rel"):
+        np.testing.assert_allclose(
+            np.asarray(l_w[k]), np.asarray(l_c[k]),
+            rtol=1e-5, atol=1e-7, err_msg=k,
+        )
+    # Adam's 1/sqrt(v) amplifies ULP-level gradient differences on
+    # near-zero entries; a handful of elements land ~1e-4 relative.
+    for a, b in zip(jax.tree_util.tree_leaves(s_w.params),
+                    jax.tree_util.tree_leaves(s_c.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )

@@ -71,6 +71,48 @@ def test_knn_pallas_interpret_valid_query_count():
     np.testing.assert_allclose(np.asarray(d)[:nq], bd, atol=1e-5)
 
 
+def test_knn_pallas_interpret_warm_start_exact():
+    """Warm-start candidates (init_idx) accelerate branch-and-bound but must
+    NEVER change the result: correct candidates, wrong candidates, -1
+    no-candidates, and out-of-range candidates (indices into a map that was
+    since compacted) all return the true top-1."""
+    rng = np.random.default_rng(21)
+    q = rng.normal(size=(300, 3)).astype(np.float32)
+    r = rng.normal(size=(2500, 3)).astype(np.float32)
+    nr = 2000
+    bd, bi = brute(q, r[:nr])
+
+    wrong = rng.integers(0, nr, size=300).astype(np.int32)
+    mixed = np.where(rng.random(300) < 0.5, bi.astype(np.int32), -1)
+    oob = rng.integers(nr, 2500, size=300).astype(np.int32)  # all invalid
+    for init in (bi.astype(np.int32), wrong, mixed,
+                 np.full(300, -1, np.int32), oob):
+        d, i = knn_pallas(jnp.asarray(q), jnp.asarray(r), nr=nr,
+                          init_idx=jnp.asarray(init), interpret=True)
+        # A candidate that TIES the true NN may legitimately win the
+        # running max; compare distances through the chosen index.
+        d_via = ((q - r[np.asarray(i)]) ** 2).sum(-1)
+        np.testing.assert_allclose(d_via, bd, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(d), bd, atol=1e-5)
+        assert np.all(np.asarray(i) < nr)
+
+
+def test_knn_pallas_interpret_warm_start_valid_query_count():
+    """Warm start composes with nq masking (the map->frame direction)."""
+    rng = np.random.default_rng(22)
+    q = rng.normal(size=(1024, 3)).astype(np.float32)
+    r = rng.normal(size=(2048, 3)).astype(np.float32)
+    nq = 300
+    bd, bi = brute(q[:nq], r)
+    init = np.full(1024, -1, np.int32)
+    init[:nq] = bi
+    d, i = knn_pallas(jnp.asarray(q), jnp.asarray(r), nq=nq,
+                      init_idx=jnp.asarray(init), interpret=True)
+    d_via = ((q[:nq] - r[np.asarray(i)[:nq]]) ** 2).sum(-1)
+    np.testing.assert_allclose(d_via, bd, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d)[:nq], bd, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_knn_pallas_interpret_exact_mode_shapes():
     """Lowering guard at the EXACT-MODE shapes (VERDICT r3 #1): a full-frame
