@@ -433,3 +433,37 @@ def test_knn_warm_start_matches_cold(pair):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
         )
+
+
+@pytest.mark.slow
+def test_knn_spatial_sort_matches_unsorted(pair):
+    """LOSS.knn_spatial_sort (Morton-sorted map view for the brute KNN,
+    ops/spatial_sort.py) must not change loss values: the sorted ref is the
+    same point set, and the KNN is exact under any layout."""
+    def run(sort):
+        cfg = small_config(**{
+            "LOSS.three3d_loss": True,
+            "LOSS.chamfer_distance": True,
+            "LOSS.knn_spatial_sort": sort,
+        })
+        engine, state = _engine_and_state(cfg)
+        slam = PointFusion(odom="gt")
+        gmap, _ = slam(pair.colors, pair.gt_depths, pair.intrinsics,
+                       pair.poses, capacity=2 * H * W)
+        mi = engine.build_map_index(gmap)
+        if sort:
+            from e2eslam_tpu.ops.spatial_sort import SortedMap
+
+            assert isinstance(mi, SortedMap)
+        state, metrics = engine.refine_step(
+            state, pair, gmap, jax.random.key(1), map_index=mi
+        )
+        return metrics
+
+    a = run(True)
+    b = run(False)
+    for k in ("total_loss", "three3d", "chamfer", "abs_rel"):
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]),
+            rtol=1e-5, atol=1e-7, err_msg=k,
+        )

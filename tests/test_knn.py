@@ -190,3 +190,41 @@ def test_chamfer_symmetric_and_zero_on_identical():
     ab = float(chamfer_distance(a, b))
     ba = float(chamfer_distance(b, a))
     assert ab == pytest.approx(ba, rel=1e-5)
+
+
+def test_spatial_sort_preserves_exactness():
+    """Morton sort (ops/spatial_sort.py): valid prefix preserved, perm is a
+    permutation, sorted points match the originals through it, and KNN
+    against the sorted ref returns the same distances as against the raw
+    ref (exactness is layout-independent)."""
+    from e2eslam_tpu.ops.spatial_sort import sort_map_points
+
+    rng = np.random.default_rng(30)
+    n, count = 3000, 2201
+    pts = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    pts[count:] = 0.0  # garbage tail
+    sm = sort_map_points(jnp.asarray(pts), jnp.asarray(count, jnp.int32))
+    perm = np.asarray(sm.perm)
+    assert sorted(perm.tolist()) == list(range(n))
+    np.testing.assert_array_equal(np.asarray(sm.points), pts[perm])
+    # every valid row stays in the prefix
+    assert np.all(perm[:count] < count) and np.all(perm[count:] >= count)
+    # spatial locality: mean neighbor distance shrinks vs the random order
+    d_sorted = np.linalg.norm(
+        np.diff(np.asarray(sm.points)[:count], axis=0), axis=1
+    ).mean()
+    d_orig = np.linalg.norm(np.diff(pts[:count], axis=0), axis=1).mean()
+    assert d_sorted < 0.5 * d_orig, (d_sorted, d_orig)
+
+    q = rng.uniform(-3, 3, (257, 3)).astype(np.float32)
+    d_raw, i_raw = knn_pallas(jnp.asarray(q), jnp.asarray(pts), nr=count,
+                              interpret=True)
+    d_srt, i_srt = knn_pallas(jnp.asarray(q), sm.points, nr=count,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(d_srt), np.asarray(d_raw),
+                               atol=1e-5)
+    # indices translate back through the permutation (ties aside: compare
+    # the distance through the translated index)
+    back = perm[np.asarray(i_srt)]
+    d_via = ((q - pts[back]) ** 2).sum(-1)
+    np.testing.assert_allclose(d_via, np.asarray(d_raw), atol=1e-5)

@@ -125,23 +125,37 @@ def main():
     q_slam = jnp.asarray(clouds[-1].astype(np.float32)[:nq])
     timed(q_slam, jnp.asarray(slam_map), "slam-layout")
 
+    # MORTON-SORTED ref layout (ops/spatial_sort.py, what the exact modes
+    # actually search after build_map_index): spatial contiguity collapses
+    # the per-query-tile overlap set, so the bbox pruning approaches its
+    # floor. Same exact kernel, permuted input.
+    from e2eslam_tpu.ops.spatial_sort import sort_map_points
+
+    sm = sort_map_points(jnp.asarray(slam_map),
+                         jnp.asarray(slam_map.shape[0], jnp.int32))
+    timed(q_slam, sm.points, "slam-sorted")
+
     # WARM-start timing at refine-step conditions: the previous step's NN
     # indices as candidates, queries perturbed by ~1 mm (the observed Adam
     # step scale at lr 1e-5). This is the steady-state cost of every
     # refinement step after the first in the exact modes.
     fw = jax.jit(lambda a, b, i: knn(a, b, init_idx=i)[0].sum())
-    rd = jnp.asarray(slam_map)
-    _, idx0 = jax.jit(knn)(q_slam, rd)
     q_moved = q_slam + jnp.asarray(
         rng.normal(0, 1e-3, (nq, 3)).astype(np.float32)
     )
-    float(fw(q_moved, rd, idx0))  # compile
-    t0 = time.perf_counter()
-    for _ in range(3):
-        float(fw(q_moved, rd, idx0))
-    dt = (time.perf_counter() - t0) / 3
-    print(f"pallas knn slam-layout WARM {nq}x{nr}: {dt*1e3:.1f} ms/call "
-          f"(incl host fetch)")
+
+    def timed_warm(rd, label):
+        _, idx0 = jax.jit(knn)(q_slam, rd)
+        float(fw(q_moved, rd, idx0))  # compile
+        t0 = time.perf_counter()
+        for _ in range(3):
+            float(fw(q_moved, rd, idx0))
+        dt = (time.perf_counter() - t0) / 3
+        print(f"pallas knn {label} WARM {nq}x{nr}: {dt*1e3:.1f} ms/call "
+              f"(incl host fetch)")
+
+    timed_warm(jnp.asarray(slam_map), "slam-layout")
+    timed_warm(sm.points, "slam-sorted")
 
     sys.exit(1 if failures else 0)
 
