@@ -522,6 +522,36 @@ class RefinementEngine:
 
             if isinstance(map_index, SortedMap):
                 map_pts = jax.lax.stop_gradient(map_index.points[::mstride])
+
+            def tail_seed(q_sg):
+                """Step-0 warm-start candidates from the map's newest tail.
+
+                Sorting destroys the newest-first bound-establishment
+                heuristic the kernel relies on cold (sorted-cold measured
+                3x SLOWER than append-ordered cold: 630 vs 228 ms,
+                0_knncheck_r4g_sorted.log) — but sorted-WARM is the
+                fastest layout (111 vs 172 ms). So seed the first step
+                too: one tiny KNN against only the newest ~262k appended
+                rows (the previous keyframes' clouds — where the matches
+                live) gives every query an achieved bound, then the full
+                sorted search prunes like a warm step. Exact either way.
+                """
+                if (not isinstance(map_index, SortedMap) or mstride != 1
+                        or not bool(L.get("knn_seed_tail", True))):
+                    return None
+                from e2eslam_tpu.ops.knn import knn
+
+                raw = jax.lax.stop_gradient(map_state.points)
+                N = raw.shape[0]
+                Wt = min(N, 1 << 18)
+                start = jnp.clip(map_state.count - Wt, 0, N - Wt)
+                tail = jax.lax.dynamic_slice(raw, (start, 0), (Wt, 3))
+                n_tail = jnp.minimum(map_state.count, Wt)
+                _, tidx = knn(q_sg, tail, n_tail)
+                cand = jnp.clip(start + tidx, 0, N - 1)
+                return jax.lax.stop_gradient(
+                    jnp.take(map_index.inv_perm, cand)
+                )
             # Empty-map gate: the reference skips the 3D loss on the first
             # keyframe (``first_iter``, online_adaption.py:535); here the gate
             # is a multiply so the jitted step handles both cases.
@@ -616,6 +646,8 @@ class RefinementEngine:
                     knn_l = gate * _masked_point_loss(pts, nn, w3, scale=tex)
                 else:
                     ki = None if knn_init is None else knn_init.get("three3d")
+                    if ki is None:
+                        ki = tail_seed(jax.lax.stop_gradient(pts))
                     _, idx = knn_points_loss(
                         map_pts, pts, n_gt=map_count, init_idx=ki
                     )
@@ -704,6 +736,8 @@ class RefinementEngine:
                     else:
                         ki_ab = (None if knn_init is None
                                  else knn_init.get("ab"))
+                        if ki_ab is None:
+                            ki_ab = tail_seed(jax.lax.stop_gradient(pts))
                         idx_ab = jax.lax.stop_gradient(
                             knn(jax.lax.stop_gradient(pts), map_pts,
                                 map_count, init_idx=ki_ab)[1]

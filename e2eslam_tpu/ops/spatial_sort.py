@@ -35,13 +35,18 @@ Array = jax.Array
 class SortedMap(NamedTuple):
     """A spatially-sorted view of a map's points.
 
-    points: [N, 3] Morton-sorted positions (invalid rows at the end).
-    perm:   [N] int32 — ``points[i] == original[perm[i]]``; translates
-            KNN indices in sorted space back to original map rows.
+    points:   [N, 3] Morton-sorted positions (invalid rows at the end).
+    perm:     [N] int32 — ``points[i] == original[perm[i]]``; translates
+              KNN indices in sorted space back to original map rows.
+    inv_perm: [N] int32 — ``inv_perm[perm[i]] == i``; translates original
+              map rows into sorted positions (used to convert warm-start
+              candidates found against the ORIGINAL layout, e.g. the
+              newest-tail seeding pass, into sorted-space indices).
     """
 
     points: Array
     perm: Array
+    inv_perm: Array
 
 
 def _spread_bits(v: Array) -> Array:
@@ -84,4 +89,8 @@ def sort_map_points(points: Array, count: Array) -> SortedMap:
     valid = jnp.arange(n, dtype=jnp.int32) < count
     code = morton_codes(points, valid)
     perm = jnp.argsort(code, stable=True).astype(jnp.int32)
-    return SortedMap(points=jnp.take(points, perm, axis=0), perm=perm)
+    inv = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+    return SortedMap(points=jnp.take(points, perm, axis=0), perm=perm,
+                     inv_perm=inv)

@@ -427,11 +427,14 @@ def test_knn_warm_start_matches_cold(pair):
             rtol=1e-5, atol=1e-7, err_msg=k,
         )
     # Adam's 1/sqrt(v) amplifies ULP-level gradient differences on
-    # near-zero entries; a handful of elements land ~1e-4 relative.
+    # near-zero entries over the 3 steps; the warm and cold programs are
+    # different XLA programs, so isolated elements land ~1e-5..1e-4 abs.
+    # This is a same-trajectory check, not a bitwise one — the bitwise
+    # invariants (map count, per-metric values) are asserted above.
     for a, b in zip(jax.tree_util.tree_leaves(s_w.params),
                     jax.tree_util.tree_leaves(s_c.params)):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
         )
 
 

@@ -157,6 +157,27 @@ def main():
     timed_warm(jnp.asarray(slam_map), "slam-layout")
     timed_warm(sm.points, "slam-sorted")
 
+    # SEEDED-COLD at refine step 0 conditions (engine tail_seed): a tiny
+    # KNN against the newest ~262k appended rows, translated into sorted
+    # space, seeds the full sorted search. Times the WHOLE thing
+    # (pre-pass + main) — the actual step-0 cost with the sorted layout.
+    Wt = 1 << 18
+
+    def seeded(q, r_raw, r_sorted, inv_perm):
+        _, tidx = knn(q, r_raw[-Wt:])
+        cand = jnp.take(inv_perm, r_raw.shape[0] - Wt + tidx)
+        return knn(q, r_sorted, init_idx=cand)[0].sum()
+
+    fs = jax.jit(seeded)
+    rd_raw = jnp.asarray(slam_map)
+    float(fs(q_moved, rd_raw, sm.points, sm.inv_perm))  # compile
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(fs(q_moved, rd_raw, sm.points, sm.inv_perm))
+    dt = (time.perf_counter() - t0) / 3
+    print(f"pallas knn slam-sorted SEEDED-COLD {nq}x{nr}: {dt*1e3:.1f} "
+          f"ms/call (incl host fetch)")
+
     sys.exit(1 if failures else 0)
 
 
