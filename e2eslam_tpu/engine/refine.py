@@ -546,9 +546,15 @@ class RefinementEngine:
                 Wt = min(N, 1 << 18)
                 start = jnp.clip(map_state.count - Wt, 0, N - Wt)
                 tail = jax.lax.dynamic_slice(raw, (start, 0), (Wt, 3))
-                n_tail = jnp.minimum(map_state.count, Wt)
-                _, tidx = knn(q_sg, tail, n_tail)
-                cand = jnp.clip(start + tidx, 0, N - 1)
+                # Stride the pre-pass (r4h trace: the dense 82k x 262k
+                # seeding KNN cost ~93 ms — as much as a warm main call).
+                # A 4-strided tail still yields a candidate within ~2 px
+                # of the true tail NN; the bound is marginally looser,
+                # the main search stays exact either way.
+                ts = int(L.get("knn_seed_stride", 4) or 1)
+                n_tail = (jnp.minimum(map_state.count, Wt) + ts - 1) // ts
+                _, tidx = knn(q_sg, tail[::ts], n_tail)
+                cand = jnp.clip(start + tidx * ts, 0, N - 1)
                 return jax.lax.stop_gradient(
                     jnp.take(map_index.inv_perm, cand)
                 )
