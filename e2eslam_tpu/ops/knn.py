@@ -64,15 +64,6 @@ _QT = 256  # query tile (sublane-friendly)
 # steps ~ half the SLAM-layout wall time) at the cost of coarser bbox
 # pruning granularity. [QT, RT] f32 scores stay ~8 MB VMEM.
 _RT = 8192
-# Sub-tiling (round 4h trace): even fully-pruned grid steps cost ~1 us of
-# Mosaic loop/DMA bookkeeping, and the grid spans the buffer CAPACITY —
-# at a 4.9M-row map that floor alone was ~190 ms/call with everything
-# pruned. Each grid step now covers _SUB ref tiles ([4, _SUB*_RT] block,
-# 512 KB DMA) with an unrolled inner loop: bbox granularity, pruning, and
-# the [QT, _RT] score intermediate (8 MB VMEM) are UNCHANGED — only the
-# per-step overhead is amortized 4x.
-_SUB = 4
-_RT_OUT = _RT * _SUB
 _NEG = -1e30  # bias sentinel for invalid reference rows
 
 
@@ -125,9 +116,8 @@ def _knn_kernel_body(nq_ref, nr_ref, rbb_ref, q_ref, r_ref,
     """One (query-tile i, ref-tile jr) step of the running-max MXU KNN.
 
     q_ref: [QT, 4] augmented query block (VMEM) — [qx, qy, qz, 1]
-    r_ref: [4, _SUB * RT] augmented/transposed ref block (VMEM) —
-      [rx, ry, rz, -0.5|r|^2], bias row -1e30 on invalid rows; covers
-      _SUB consecutive 8192-wide ref tiles per grid step
+    r_ref: [4, RT] augmented/transposed ref block (VMEM) —
+      [rx, ry, rz, -0.5|r|^2], bias row -1e30 on invalid rows
     rbb_ref: [n_tiles, 8] WHOLE-ARRAY ref tile bboxes
       [minx,miny,minz,maxx,maxy,maxz,0,0] in SMEM via scalar prefetch,
       dynamically indexed by jr. At RT=8192 even a 16M-point capacity
@@ -152,7 +142,7 @@ def _knn_kernel_body(nq_ref, nr_ref, rbb_ref, q_ref, r_ref,
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
-    jo = nrt - 1 - j  # newest-first over _SUB-wide outer blocks
+    jr = nrt - 1 - j  # newest-first
 
     @pl.when(j == 0)
     def _init():
@@ -182,72 +172,60 @@ def _knn_kernel_body(nq_ref, nr_ref, rbb_ref, q_ref, r_ref,
             qbb_ref[ax] = jnp.min(q_ref[:, ax])
             qbb_ref[3 + ax] = jnp.max(q_ref[:, ax])
 
-    # Unrolled inner loop over the block's _SUB ref tiles, newest-first
-    # (h descending matches the append order within the outer block).
-    # Bbox bounds, pruning decisions, and the pruning-threshold update
-    # stay PER 8192-TILE — the sub-tiling only amortizes grid overhead.
-    for h in reversed(range(_SUB)):
-        jr = jo * _SUB + h  # 8192-tile index
-
-        # Bbox lower bound between every q in tile i and every r in tile
-        # jr: per-axis gap max(0, qmin - rmax, rmin - qmax), summed
-        # squared.
-        lb2 = jnp.float32(0.0)
-        for ax in range(3):
-            gap = jnp.maximum(
-                jnp.maximum(qbb_ref[ax] - rbb_ref[jr, 3 + ax],
-                            rbb_ref[jr, ax] - qbb_ref[3 + ax]),
-                0.0,
-            )
-            lb2 = lb2 + gap * gap
-
-        # Skip: ref tiles beyond the valid count (fixed-capacity
-        # buffers), query tiles beyond the valid queries, and — the
-        # branch-and-bound cut — blocks whose bbox bound can't beat the
-        # current worst best. The DMA still streams skipped blocks;
-        # compute is elided.
-        run = (
-            (jr * _RT < nr_ref[0])
-            & (i * _QT < nq_ref[0])
-            & (lb2 < wb_ref[0, 0])
+    # Bbox lower bound between every q in tile i and every r in tile jr:
+    # per-axis gap max(0, qmin - rmax, rmin - qmax), summed squared.
+    lb2 = jnp.float32(0.0)
+    for ax in range(3):
+        gap = jnp.maximum(
+            jnp.maximum(qbb_ref[ax] - rbb_ref[jr, 3 + ax],
+                        rbb_ref[jr, ax] - qbb_ref[3 + ax]),
+            0.0,
         )
+        lb2 = lb2 + gap * gap
 
-        @pl.when(run)
-        def _body(h=h, jr=jr):
-            # HIGHEST precision (6-pass f32): DEFAULT truncates f32
-            # operands to bf16, whose ~8-bit mantissa (abs err ~0.4 on
-            # meter-scale scores) would corrupt the argmax winner; HIGH
-            # (3-pass) would suffice for ranking but Mosaic only lowers
-            # DEFAULT/HIGHEST. K=4 keeps the 6-pass matmul cheap relative
-            # to the [QT, RT] reduction it feeds.
-            scores = jnp.dot(
-                q_ref[...], r_ref[:, h * _RT:(h + 1) * _RT],
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [QT, RT] — q.r - 0.5|r|^2 on the MXU
-            tile_max = jnp.max(scores, axis=1)  # [QT]
-            tile_arg = (
-                jnp.argmax(scores, axis=1).astype(jnp.int32) + jr * _RT
-            )
+    # Skip: ref tiles beyond the valid count (fixed-capacity buffers),
+    # query tiles beyond the valid queries, and — the branch-and-bound
+    # cut — blocks whose bbox bound can't beat the current worst best.
+    # The DMA still streams skipped blocks; compute is elided.
+    run = (
+        (jr * _RT < nr_ref[0])
+        & (i * _QT < nq_ref[0])
+        & (lb2 < wb_ref[0, 0])
+    )
 
-            cur = score_ref[0, :]
-            better = tile_max > cur
-            new_s = jnp.where(better, tile_max, cur)
-            new_i = jnp.where(better, tile_arg, idx_ref[0, :])
-            score_ref[...] = jnp.broadcast_to(
-                new_s[None, :], score_ref.shape
-            )
-            idx_ref[...] = jnp.broadcast_to(new_i[None, :], idx_ref.shape)
+    @pl.when(run)
+    def _body():
+        # HIGHEST precision (6-pass f32): DEFAULT truncates f32
+        # operands to bf16, whose ~8-bit mantissa (abs err ~0.4 on
+        # meter-scale scores) would corrupt the argmax winner; HIGH
+        # (3-pass) would suffice for ranking but Mosaic only lowers
+        # DEFAULT/HIGHEST. K=4 keeps the 6-pass matmul cheap relative
+        # to the [QT, RT] reduction it feeds. Measured on chip: the
+        # 82k x 1.57M exact query runs 1336 ms uniform / 223 ms on a
+        # SLAM-layout map (branch-and-bound engaged).
+        scores = jnp.dot(
+            q_ref[...], r_ref[...],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [QT, RT] — q.r - 0.5|r|^2 on the MXU
+        tile_max = jnp.max(scores, axis=1)  # [QT]
+        tile_arg = jnp.argmax(scores, axis=1).astype(jnp.int32) + jr * _RT
 
-            # Update the pruning threshold: worst (max) best squared
-            # distance over the VALID queries of this tile.
-            # d^2 = |q|^2 - 2*score; |q|^2 is recovered from the
-            # augmented block (4th lane is 1).
-            q2 = jnp.sum(q_ref[...] * q_ref[...], axis=1) - 1.0  # [QT]
-            col = jax.lax.broadcasted_iota(jnp.int32, (1, _QT), 1)[0]
-            valid = (i * _QT + col) < nq_ref[0]
-            d2 = jnp.where(valid, q2 - 2.0 * new_s, -jnp.inf)
-            wb_ref[0, 0] = jnp.max(d2)
+        cur = score_ref[0, :]
+        better = tile_max > cur
+        new_s = jnp.where(better, tile_max, cur)
+        new_i = jnp.where(better, tile_arg, idx_ref[0, :])
+        score_ref[...] = jnp.broadcast_to(new_s[None, :], score_ref.shape)
+        idx_ref[...] = jnp.broadcast_to(new_i[None, :], idx_ref.shape)
+
+        # Update the pruning threshold: worst (max) best squared distance
+        # over the VALID queries of this tile. d^2 = |q|^2 - 2*score;
+        # |q|^2 is recovered from the augmented block (4th lane is 1).
+        q2 = jnp.sum(q_ref[...] * q_ref[...], axis=1) - 1.0  # [QT]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, _QT), 1)[0]
+        valid = (i * _QT + col) < nq_ref[0]
+        d2 = jnp.where(valid, q2 - 2.0 * new_s, -jnp.inf)
+        wb_ref[0, 0] = jnp.max(d2)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -289,7 +267,7 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, init_idx=None, *,
     nq = jnp.asarray(nq, jnp.int32).reshape(1)
 
     nq_pad = -(-Nq // _QT) * _QT
-    nr_pad = -(-Nr // _RT_OUT) * _RT_OUT
+    nr_pad = -(-Nr // _RT) * _RT
 
     q = query.astype(jnp.float32)
     q4 = jnp.concatenate([q, jnp.ones((Nq, 1), jnp.float32)], axis=1)
@@ -323,7 +301,7 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, init_idx=None, *,
 
     rbb = tile_bbox(_pad_to(r, nr_pad, 0), _RT)
 
-    grid = (nq_pad // _QT, nr_pad // _RT_OUT)
+    grid = (nq_pad // _QT, nr_pad // _RT)
     nrt = grid[1]
     warm = init_idx is not None
     warm_inputs, warm_specs = [], []
@@ -390,12 +368,12 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, init_idx=None, *,
                 # no DMA at all. At mid-sequence maps (valid ~40% of
                 # capacity) this was ~60% of all grid steps.
                 pl.BlockSpec(
-                    (4, _RT_OUT),
+                    (4, _RT),
                     lambda i, j, nq, nr, rbb: (
                         0,
                         jnp.minimum(
                             nrt - 1 - j,
-                            jnp.maximum((nr[0] - 1) // _RT_OUT, 0),
+                            jnp.maximum((nr[0] - 1) // _RT, 0),
                         ),
                     ),
                     memory_space=pltpu.VMEM,
