@@ -52,9 +52,10 @@ class Demo(OnlineAdaptation):
             snap(new_map)
             return new_map, est_pose
 
-        def process_and_snapshot(state, pair, map_state, rng, *, fuse_prev):
+        def process_and_snapshot(state, pair, map_state, rng, map_index=None,
+                                 *, fuse_prev):
             state, new_map, metrics, est_pose = original_process(
-                state, pair, map_state, rng, fuse_prev=fuse_prev
+                state, pair, map_state, rng, map_index, fuse_prev=fuse_prev
             )
             snap(new_map)
             return state, new_map, metrics, est_pose

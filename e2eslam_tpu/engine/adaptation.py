@@ -89,6 +89,18 @@ class OnlineAdaptation:
         # like train_depth's DATA.frames=[0,-1,1] windows, demo.py:437-452).
         self.F_ref = int(config.DEMO.get("sequence_length_refinement") or 2)
         self.engine = RefinementEngine(config, self.model, map_capacity=self.capacity)
+        # Bucketed sorted-map views for the exact-brute KNN (see the fast
+        # path in run()): only when the sorted brute path is configured —
+        # the per-keyframe count fetch is a host sync the flagship index
+        # path must not pay.
+        L = config.LOSS
+        self._bucketed_sort = (
+            str(L.get("knn_impl", "brute")) == "brute"
+            and bool(L.get("knn_spatial_sort", True))
+            and bool(L.get("knn_bucket", True))
+            and bool(L.three3d_loss or L.get("knn_points")
+                     or L.chamfer_distance)
+        )
         self.state = self.engine.init_state(params, batch_stats, (self.F_ref, H, W))
 
     def run(self, *, verbose: Optional[bool] = None) -> Dict:
@@ -217,8 +229,27 @@ class OnlineAdaptation:
                 # Fast path: association + R refine steps + fusion compiled
                 # into ONE XLA program (single dispatch per keyframe).
                 rng, sub = jax.random.split(rng)
+                mi = None
+                if self._bucketed_sort:
+                    # Exact-brute modes only: hand process_pair a BUCKETED
+                    # sorted view so the KNN grid and the per-keyframe
+                    # argsort scale with the actual map size instead of
+                    # the buffer capacity. The previous keyframe's count
+                    # plus one frame upper-bounds this keyframe's count
+                    # (fusion appends at most H*W rows; event 0 fuses two
+                    # frames). The count fetch is a host sync, so this is
+                    # GATED OFF for the flagship index path, whose whole
+                    # run stays async.
+                    hw = int(cfg.DATA.height) * int(cfg.DATA.width)
+                    ub = int(jax.device_get(global_map.count)) + (
+                        2 if first_iter else 1
+                    ) * hw
+                    q = 1 << 20  # 1M-row quantization bounds recompiles
+                    bucket = min(-(-ub // q) * q, self.engine.map_capacity)
+                    mi = self.engine.build_map_index(global_map,
+                                                     bucket=bucket)
                 state, global_map, step_metrics, est_pose = self.engine.process_pair(
-                    state, pair, global_map, sub, fuse_prev=first_iter
+                    state, pair, global_map, sub, mi, fuse_prev=first_iter
                 )
                 total_refine_steps += refinement_steps
             else:

@@ -965,7 +965,7 @@ class RefinementEngine:
             index_levels=int(cfg.MODEL.get("index_levels", 1) or 1),
         )
 
-    def build_map_index(self, map_state: MapState):
+    def build_map_index(self, map_state: MapState, bucket=None):
         """Build the configured 3D-loss acceleration index over a map.
 
         Returns a ``VoxelIndex`` for ``LOSS.knn_impl: voxel`` and ``None``
@@ -1006,9 +1006,16 @@ class RefinementEngine:
         ):
             from e2eslam_tpu.ops.spatial_sort import sort_map_points
 
-            return sort_map_points(
-                jax.lax.stop_gradient(map_state.points), map_state.count
-            )
+            pts = jax.lax.stop_gradient(map_state.points)
+            if bucket is not None:
+                # Caller-guaranteed upper bound on the valid count: the
+                # sort AND the KNN ref view shrink from buffer capacity to
+                # ~the actual map size (valid rows live in the prefix, so
+                # a [:bucket] slice keeps them all). The kernel grid and
+                # the per-keyframe argsort both scale with the slice.
+                b = min(int(bucket), pts.shape[0])
+                pts = pts[:b]
+            return sort_map_points(pts, map_state.count)
         return None
 
     # ------------------------------------------------------------------
@@ -1042,8 +1049,13 @@ class RefinementEngine:
         fuse = self._make_fuse_pair()
 
         def process(state: RefineState, pair: PairBatch, map_state: MapState,
-                    rng, *, fuse_prev: bool):
-            map_index = self.build_map_index(map_state)
+                    rng, map_index=None, *, fuse_prev: bool):
+            # map_index may be precomputed by the caller (the adaptation
+            # loop passes a BUCKETED SortedMap so the exact KNN's grid
+            # scales with the actual map size, not the buffer capacity —
+            # see build_map_index); otherwise build it here.
+            if map_index is None:
+                map_index = self.build_map_index(map_state)
 
             state = state._replace(step=jnp.zeros((), jnp.int32))
 
@@ -1368,9 +1380,15 @@ class RefinementEngine:
         """PFT step that also returns the gradient pytree (observability)."""
         return self._pft_step_grads(state, pair, map_state, map_index, rng)
 
-    def process_pair(self, state, pair, map_state, rng, *, fuse_prev: bool):
-        """Whole-keyframe fast path: R refine steps + fusion, one dispatch."""
-        return self._process_pair(state, pair, map_state, rng, fuse_prev=fuse_prev)
+    def process_pair(self, state, pair, map_state, rng, map_index=None, *,
+                     fuse_prev: bool):
+        """Whole-keyframe fast path: R refine steps + fusion, one dispatch.
+
+        ``map_index``: optional precomputed 3D-loss index (e.g. a bucketed
+        SortedMap from :meth:`build_map_index`); None = build in-program.
+        """
+        return self._process_pair(state, pair, map_state, rng, map_index,
+                                  fuse_prev=fuse_prev)
 
     def process_sequence(self, state, map_state, colors, gt_depths, K, poses,
                          prev_idx, cur_idx, rng):

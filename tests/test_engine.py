@@ -470,3 +470,36 @@ def test_knn_spatial_sort_matches_unsorted(pair):
             np.asarray(a[k]), np.asarray(b[k]),
             rtol=1e-5, atol=1e-7, err_msg=k,
         )
+
+
+@pytest.mark.slow
+def test_knn_bucketed_sort_matches_unbucketed(pair):
+    """The host-loop bucketed SortedMap (LOSS.knn_bucket: the exact KNN's
+    ref view sliced to an upper bound on the live count) must match the
+    full-capacity path — valid rows all live in the prefix, so the slice
+    changes the grid size, never the result."""
+    from e2eslam_tpu.config import default_config_path, load_yaml
+    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+
+    def run(bucket):
+        cfg = load_yaml(default_config_path())
+        cfg.DATA.name = "synthetic"
+        cfg.DATA.height, cfg.DATA.width = H, W
+        cfg.DEMO.sequence_length = 6
+        cfg.DEMO.frame_threshold = 0.01
+        cfg.DATA.dilation = 2
+        cfg.OPTIMIZATION.refinement_steps = 2
+        cfg.LOSS.three3d_loss = True
+        cfg.LOSS.knn_impl = "brute"
+        cfg.LOSS.knn_bucket = bucket
+        runner = OnlineAdaptation(cfg)
+        runner.use_sequence_program = False
+        assert runner._bucketed_sort == bucket
+        return runner.run(verbose=False)
+
+    a = run(True)
+    b = run(False)
+    assert a["num_keyframes"] == b["num_keyframes"]
+    assert a["map_points"] == b["map_points"]
+    np.testing.assert_allclose(a["mean_abs_rel"], b["mean_abs_rel"],
+                               rtol=1e-4)
