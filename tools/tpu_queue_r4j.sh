@@ -16,7 +16,7 @@ fi
 # host-quiet gate: no other python may be running (CPU contention
 # inflates timed TPU rows — r4i lesson)
 quiet() {
-  [ "$(pgrep -c -x python 2>/dev/null || echo 0)" -eq 0 ]
+  n=$(pgrep -x python | wc -l); [ "$n" -eq 0 ]
 }
 until quiet; do sleep 60; done
 
