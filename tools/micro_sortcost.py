@@ -54,14 +54,14 @@ def main():
     count = jnp.asarray(args.count, jnp.int32)
     valid = jnp.arange(args.n) < count
 
-    timed(lambda p: morton_codes(p, valid).astype(jnp.int32),
+    timed(lambda p: jnp.sum(morton_codes(p, valid).astype(jnp.int32)),
           pts, label=f"morton codes n={args.n}")
     code = morton_codes(pts, valid)
-    timed(lambda c: jnp.argsort(c, stable=True).astype(jnp.int32)[:8],
+    timed(lambda c: jnp.sum(jnp.argsort(c, stable=True).astype(jnp.int32)),
           code, label="argsort stable=True")
-    timed(lambda c: jnp.argsort(c, stable=False).astype(jnp.int32)[:8],
+    timed(lambda c: jnp.sum(jnp.argsort(c, stable=False).astype(jnp.int32)),
           code, label="argsort stable=False")
-    timed(lambda p, c: sort_map_points(p, c).points,
+    timed(lambda p, c: jnp.sum(sort_map_points(p, c).points),
           pts, count, label="sort_map_points total")
 
 
