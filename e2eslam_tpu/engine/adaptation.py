@@ -198,6 +198,7 @@ class OnlineAdaptation:
             )
 
         kf_hist: List[int] = [0]  # processed keyframes (frame 0 = first prev)
+        self._count_fetches = []  # (kf index, async count copy) ring
         for prev, frame in keyframe_schedule(
             np.asarray(jax.device_get(poses)), threshold
         ):
@@ -234,16 +235,22 @@ class OnlineAdaptation:
                     # Exact-brute modes only: hand process_pair a BUCKETED
                     # sorted view so the KNN grid and the per-keyframe
                     # argsort scale with the actual map size instead of
-                    # the buffer capacity. The previous keyframe's count
-                    # plus one frame upper-bounds this keyframe's count
-                    # (fusion appends at most H*W rows; event 0 fuses two
-                    # frames). The count fetch is a host sync, so this is
-                    # GATED OFF for the flagship index path, whose whole
-                    # run stays async.
+                    # the buffer capacity. The bucket needs an upper bound
+                    # on this keyframe's count WITHOUT a blocking host
+                    # sync (which would cap the async pipeline at depth
+                    # 1): poll previously enqueued count fetches with
+                    # is_ready() and take the newest COMPLETED one, adding
+                    # one frame of appends per keyframe of lag (fusion
+                    # appends at most H*W rows per event; event 0 fuses
+                    # two frames). Gated OFF for the flagship index path.
                     hw = int(cfg.DATA.height) * int(cfg.DATA.width)
-                    ub = int(jax.device_get(global_map.count)) + (
-                        2 if first_iter else 1
-                    ) * hw
+                    known, lag = 0, len(kf_hist) + 1  # no fetch ready yet
+                    for past_idx, arr in reversed(self._count_fetches):
+                        if arr.is_ready():
+                            known = int(arr)
+                            lag = len(kf_hist) - past_idx
+                            break
+                    ub = known + (lag + 1) * hw
                     q = 1 << 20  # 1M-row quantization bounds recompiles
                     bucket = min(-(-ub // q) * q, self.engine.map_capacity)
                     mi = self.engine.build_map_index(global_map,
@@ -251,6 +258,18 @@ class OnlineAdaptation:
                 state, global_map, step_metrics, est_pose = self.engine.process_pair(
                     state, pair, global_map, sub, mi, fuse_prev=first_iter
                 )
+                if self._bucketed_sort:
+                    # Enqueue this keyframe's post-fusion count for a
+                    # later non-blocking bucket decision. jnp.copy: the
+                    # map itself is DONATED to the next process_pair call,
+                    # which would invalidate a raw .count reference.
+                    c = jnp.copy(global_map.count)
+                    try:
+                        c.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                    self._count_fetches.append((len(kf_hist), c))
+                    del self._count_fetches[:-8]
                 total_refine_steps += refinement_steps
             else:
                 state = state._replace(step=jnp.zeros((), jnp.int32))
