@@ -14,6 +14,7 @@ the run — no per-step host syncs unless verbose printing is requested.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -199,6 +200,7 @@ class OnlineAdaptation:
 
         kf_hist: List[int] = [0]  # processed keyframes (frame 0 = first prev)
         self._count_fetches = []  # (kf index, async count copy) ring
+        self._sort_cache = None  # {perm, inv, bucket, age} — see below
         for prev, frame in keyframe_schedule(
             np.asarray(jax.device_get(poses)), threshold
         ):
@@ -253,8 +255,46 @@ class OnlineAdaptation:
                     ub = known + (lag + 1) * hw
                     q = 1 << 20  # 1M-row quantization bounds recompiles
                     bucket = min(-(-ub // q) * q, self.engine.map_capacity)
-                    mi = self.engine.build_map_index(global_map,
-                                                     bucket=bucket)
+                    if os.environ.get("E2ESLAM_DEBUG_BUCKET"):
+                        print(f"[bucket] kf={len(kf_hist)} known={known} "
+                              f"lag={lag} ub={ub} bucket={bucket}",
+                              flush=True)
+                    # Periodic re-sort (LOSS.knn_sort_period, default 4):
+                    # the argsort runs every K keyframes; in between the
+                    # cached perm is re-gathered over the CURRENT points —
+                    # one gather instead of sort+scatter, exactness-
+                    # preserving (ops/spatial_sort.regather_sorted). A
+                    # bucket growth forces a fresh sort (the cached perm
+                    # only covers the old slice).
+                    period = int(
+                        cfg.LOSS.get("knn_sort_period", 4) or 1
+                    )
+                    sc = self._sort_cache
+                    if (
+                        period <= 1
+                        or sc is None
+                        or bucket != sc["bucket"]
+                        or sc["age"] >= period - 1
+                    ):
+                        mi = self.engine.build_map_index(global_map,
+                                                         bucket=bucket)
+                        from e2eslam_tpu.ops.spatial_sort import SortedMap
+
+                        if period > 1 and isinstance(mi, SortedMap):
+                            self._sort_cache = {
+                                "perm": mi.perm, "inv": mi.inv_perm,
+                                "bucket": bucket, "age": 0,
+                            }
+                    else:
+                        from e2eslam_tpu.ops.spatial_sort import (
+                            regather_sorted,
+                        )
+
+                        pts = jax.lax.stop_gradient(
+                            global_map.points[: sc["bucket"]]
+                        )
+                        mi = regather_sorted(pts, sc["perm"], sc["inv"])
+                        sc["age"] += 1
                 state, global_map, step_metrics, est_pose = self.engine.process_pair(
                     state, pair, global_map, sub, mi, fuse_prev=first_iter
                 )

@@ -94,3 +94,29 @@ def sort_map_points(points: Array, count: Array) -> SortedMap:
     )
     return SortedMap(points=jnp.take(points, perm, axis=0), perm=perm,
                      inv_perm=inv)
+
+
+@jax.jit
+def regather_sorted(points: Array, perm: Array, inv_perm: Array) -> SortedMap:
+    """Refresh a sorted view through a STALE permutation (one gather).
+
+    The per-keyframe argsort is the expensive part of ``sort_map_points``;
+    between periodic re-sorts (``LOSS.knn_sort_period``) a stale perm still
+    yields a correct, prefix-packed view because the sort is stable with
+    invalid rows keyed to the maximum code:
+
+      * at sort time the perm's tail is the IDENTITY over the then-invalid
+        rows (equal max keys keep original order), so map rows appended
+        since the sort land in the view tail at their own positions, in
+        append order — the kernel's newest-last/tail-seed heuristics see
+        them exactly like an append-ordered map;
+      * valid rows therefore still form exactly the view's prefix
+        ``[0, count_now)`` — the ``nr`` valid-prefix convention holds;
+      * ``perm``/``inv_perm`` are unchanged, so warm-start and result
+        index translation stay exact.
+
+    Staleness only degrades PRUNING quality (appended/merged rows are not
+    yet Morton-placed); the search itself is exact for any ordering.
+    """
+    return SortedMap(points=jnp.take(points, perm, axis=0), perm=perm,
+                     inv_perm=inv_perm)

@@ -228,3 +228,47 @@ def test_spatial_sort_preserves_exactness():
     back = perm[np.asarray(i_srt)]
     d_via = ((q - pts[back]) ** 2).sum(-1)
     np.testing.assert_allclose(d_via, np.asarray(d_raw), atol=1e-5)
+
+
+def test_regather_sorted_stale_perm_invariants():
+    """regather_sorted (ops/spatial_sort.py): between periodic re-sorts the
+    cached perm must keep (a) the identity tail over rows that were invalid
+    at sort time — so appends land in the view tail in append order, (b)
+    the valid-prefix invariant at the NEW count, and (c) exact KNN results
+    against the refreshed view."""
+    from e2eslam_tpu.ops.spatial_sort import regather_sorted, sort_map_points
+
+    rng = np.random.default_rng(31)
+    n, count0 = 3000, 1800
+    pts = rng.uniform(-3, 3, (n, 3)).astype(np.float32)
+    pts[count0:] = 0.0
+    sm = sort_map_points(jnp.asarray(pts), jnp.asarray(count0, jnp.int32))
+    perm = np.asarray(sm.perm)
+    # (a) stable sort keys invalid rows to the max code -> identity tail
+    np.testing.assert_array_equal(perm[count0:], np.arange(count0, n))
+
+    # Simulate fusion: append new valid rows, nudge some merged rows.
+    count1 = 2400
+    pts2 = pts.copy()
+    pts2[count0:count1] = rng.uniform(-3, 3, (count1 - count0, 3)).astype(
+        np.float32
+    )
+    pts2[:50] += 0.01  # merged rows moved slightly (stale Morton order ok)
+
+    view = regather_sorted(jnp.asarray(pts2), sm.perm, sm.inv_perm)
+    vp = np.asarray(view.points)
+    np.testing.assert_array_equal(vp, pts2[perm])
+    # (b) the view's first count1 rows are exactly the valid rows
+    assert sorted(perm[:count1].tolist()) == list(range(count1))
+
+    # (c) KNN against the refreshed view == KNN against the raw buffer
+    q = rng.uniform(-3, 3, (257, 3)).astype(np.float32)
+    d_raw, _ = knn_pallas(jnp.asarray(q), jnp.asarray(pts2), nr=count1,
+                          interpret=True)
+    d_view, i_view = knn_pallas(jnp.asarray(q), view.points, nr=count1,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(d_view), np.asarray(d_raw),
+                               atol=1e-5)
+    back = perm[np.asarray(i_view)]
+    d_via = ((q - pts2[back]) ** 2).sum(-1)
+    np.testing.assert_allclose(d_via, np.asarray(d_raw), atol=1e-5)
