@@ -93,10 +93,14 @@ def default_config_path() -> str:
 
 
 def arguments(argv=None) -> dict:
-    """CLI of the reference drivers: ``--config_path`` and ``--name``."""
+    """CLI of the reference drivers: ``--config_path`` and ``--name``,
+    plus ``--data_path`` (overrides DATA.data_path so the real-dataset
+    runs from tools/fetch_datasets.sh are turnkey without config edits).
+    """
     parser = argparse.ArgumentParser(description="e2eslam_tpu")
     parser.add_argument("--config_path", type=str, default=default_config_path())
     parser.add_argument("--name", type=str, default="run")
+    parser.add_argument("--data_path", type=str, default=None)
     args = parser.parse_args(argv)
     return vars(args)
 
@@ -106,6 +110,8 @@ def load_config(argv=None) -> Config:
     args = arguments(argv)
     config = load_yaml(args["config_path"])
     config.SETTINGS.name = args["name"]
+    if args.get("data_path"):
+        config.DATA.data_path = args["data_path"]
     enable_compilation_cache()
     return config
 

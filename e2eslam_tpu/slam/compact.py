@@ -114,10 +114,17 @@ def _compact_rows(m: MapState, key: Array, coord: Array, table_size: int,
     is_winner = valid & (winner == rows)
 
     # Confidence-weighted merge of every co-keyed row into its winner.
+    # One scatter-add of [N, 10] (fields + weight) instead of two: TPU
+    # scatters cost per ROW, not per byte, so fusing the weight column in
+    # is free and drops a full O(N) scatter pass.
     w = jnp.where(same, m.confidence, 0.0)
-    fields = m.data[:, :9] * w[:, None]  # points, normals, colors
-    acc = jnp.zeros((N, 9), m.data.dtype).at[winner].add(fields, mode="drop")
-    wsum = jnp.zeros((N,), m.data.dtype).at[winner].add(w, mode="drop")
+    fields = jnp.concatenate(
+        [m.data[:, :9] * w[:, None], w[:, None]], axis=-1
+    )
+    acc10 = jnp.zeros((N, 10), m.data.dtype).at[winner].add(
+        fields, mode="drop"
+    )
+    acc, wsum = acc10[:, :9], acc10[:, 9]
     safe = jnp.maximum(wsum, 1e-12)[:, None]
     merged = acc / safe
     nrm = merged[:, 3:6]

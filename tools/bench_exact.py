@@ -86,6 +86,13 @@ def main():
                     help="tiny shapes (64x64, short sequences, 1 run) to "
                          "validate the code path on CPU before burning a "
                          "TPU tunnel window; numbers are meaningless")
+    ap.add_argument("--set", dest="overrides", nargs="*", default=[],
+                    metavar="SECTION.key=value",
+                    help="config overrides applied to every row, e.g. "
+                         "MODEL.compact_period=10 MODEL.compact_mode="
+                         "projective (values parsed as YAML scalars)")
+    ap.add_argument("--label", default="",
+                    help="suffix appended to each row label")
     args = ap.parse_args()
 
     # The axon TPU plugin ignores the JAX_PLATFORMS env var and blocks on
@@ -102,6 +109,17 @@ def main():
 
     runs = 1 if args.smoke else 2
 
+    import yaml
+
+    def apply_overrides(cfg):
+        for kv in args.overrides:
+            key, _, val = kv.partition("=")
+            section, _, flag = key.partition(".")
+            cfg[section][flag] = yaml.safe_load(val)
+        return cfg
+
+    suffix = f"_{args.label}" if args.label else ""
+
     if "three3d" not in args.skip:
         cfg = base_cfg()
         cfg.DATA.dilation = 2
@@ -110,7 +128,8 @@ def main():
         cfg.LOSS.three3d_loss = True
         if args.smoke:
             cfg.DATA.height, cfg.DATA.width = 64, 64
-        run_row(cfg, "exact_three3d_brute_1x1", runs=runs)
+        run_row(apply_overrides(cfg), "exact_three3d_brute_1x1" + suffix,
+                runs=runs)
 
     if "chamfer" not in args.skip:
         cfg = base_cfg()
@@ -121,7 +140,8 @@ def main():
         cfg.LOSS.chamfer_distance = True
         if args.smoke:
             cfg.DATA.height, cfg.DATA.width = 64, 64
-        run_row(cfg, "tum_chamfer_brute_1x1", runs=runs)
+        run_row(apply_overrides(cfg), "tum_chamfer_brute_1x1" + suffix,
+                runs=runs)
 
 
 if __name__ == "__main__":

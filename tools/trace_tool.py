@@ -26,6 +26,22 @@ def load(path):
 def summarize(xs, top_ops=25):
     for p in xs.planes:
         names = {m.id: m.name for m in p.event_metadata.values()}
+        # Per-op source attribution: event metadata carries stats
+        # (tf_op / source info) keyed through plane stat_metadata.
+        stat_names = {m.id: m.name for m in p.stat_metadata.values()}
+        op_src = {}
+        for m in p.event_metadata.values():
+            parts = []
+            for s in m.stats:
+                k = stat_names.get(s.metadata_id, "")
+                if k in ("tf_op", "source", "source_info", "equation"):
+                    v = s.str_metadata_id
+                    val = stat_names.get(v, "") if v else (
+                        s.str_value if s.HasField("str_value") else "")
+                    if val:
+                        parts.append(f"{k}={val}")
+            if parts:
+                op_src[m.name] = " ".join(parts)
         total = 0
         per_line = []
         op_time = defaultdict(int)
@@ -45,7 +61,9 @@ def summarize(xs, top_ops=25):
             print(f"  line {name[:50]:50s} {lt/1e9:10.3f} ms  {n:6d} ev")
         print("  top ops:")
         for name, t in sorted(op_time.items(), key=lambda x: -x[1])[:top_ops]:
-            print(f"    {name[:70]:70s} {t/1e9:10.3f} ms x{op_count[name]}")
+            src = op_src.get(name, "")
+            print(f"    {name[:70]:70s} {t/1e9:10.3f} ms x{op_count[name]}"
+                  + (f"\n        [{src[:100]}]" if src else ""))
 
 
 if __name__ == "__main__":
