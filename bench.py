@@ -64,22 +64,11 @@ def _probe_backend(timeout_s: int = 300) -> str | None:
     return None
 
 
-def run_bench():
-    import jax
+def flagship_cfg():
+    """THE flagship benchmark configuration (single source — the trace tool
+    imports this so trace and bench can never drift apart)."""
+    from e2eslam_tpu.config import default_config_path, load_yaml
 
-    # The axon plugin ignores the JAX_PLATFORMS env var; a CPU smoke run
-    # must pin the platform via config or a dead tunnel blocks device init.
-    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-
-    from e2eslam_tpu.config import (
-        default_config_path,
-        enable_compilation_cache,
-        load_yaml,
-    )
-    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
-
-    enable_compilation_cache()
     cfg = load_yaml(default_config_path())
     cfg.DATA.name = "synthetic"
     cfg.DATA.height, cfg.DATA.width = 256, 320
@@ -135,6 +124,22 @@ def run_bench():
     # robust scale statistic; saves the full [F*H*W] sort per step).
     cfg.OPTIMIZATION.fused_update = True
     cfg.ABLATION.median_stride = 4
+    return cfg
+
+
+def run_bench():
+    import jax
+
+    # The axon plugin ignores the JAX_PLATFORMS env var; a CPU smoke run
+    # must pin the platform via config or a dead tunnel blocks device init.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from e2eslam_tpu.config import enable_compilation_cache
+    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+
+    enable_compilation_cache()
+    cfg = flagship_cfg()
 
     runner = OnlineAdaptation(cfg)
 

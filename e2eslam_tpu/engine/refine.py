@@ -1457,7 +1457,7 @@ class RefinementEngine:
     # ------------------------------------------------------------------
     # fusion of a refined pair into the global map
     # ------------------------------------------------------------------
-    def _make_fuse_pair(self):
+    def _make_fuse_pair(self, row_ops=None):
         cfg = self.config
 
         def fuse(params, batch_stats, pair: PairBatch, map_state: MapState, *, fuse_prev: bool):
@@ -1478,12 +1478,16 @@ class RefinementEngine:
                 pair.colors[0], depth[0], pair.intrinsics, pair.poses[0]
             )
             if fuse_prev:
-                map_state = self.slam._update_map(map_state, prev)
+                map_state = self.slam._update_map(
+                    map_state, prev, row_ops=row_ops
+                )
             live = build_frame(
                 pair.colors[TARGET], depth[TARGET], pair.intrinsics,
                 pair.poses[TARGET],
             )
-            map_state, est_pose, _ = self.slam.step(map_state, live, prev)
+            map_state, est_pose, _ = self.slam.step(
+                map_state, live, prev, row_ops=row_ops
+            )
             return map_state, est_pose
 
         return fuse

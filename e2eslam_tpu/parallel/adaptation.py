@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from e2eslam_tpu.engine.adaptation import keyframe_schedule  # noqa: F401
-from e2eslam_tpu.engine.refine import RefineState, gather_pair
+from e2eslam_tpu.engine.refine import PairBatch, RefineState
 from e2eslam_tpu.parallel.mesh import (
     ParallelRefinement,
     make_mesh,
@@ -61,7 +61,18 @@ class ParallelAdaptation:
         data = NamedSharding(self.mesh, P("data"))
         engine = self.par.engine
         step = engine._make_pft_step()
-        fuse = engine._make_fuse_pair()
+        # Flat batched row ops for fusion ONLY on a single-device mesh: the
+        # [B*N]-flattened lowering is fast when B lives on one chip but not
+        # provably shard-local when B is sharded (ops/batched_rows.py).
+        n_dev = int(
+            np.prod([self.mesh.shape[a] for a in self.mesh.axis_names])
+        )
+        if n_dev == 1:
+            from e2eslam_tpu.ops.batched_rows import FLAT_ROW_OPS
+
+            fuse = engine._make_fuse_pair(row_ops=FLAT_ROW_OPS)
+        else:
+            fuse = engine._make_fuse_pair()
         R = self.R
 
         # Whole-run program: the full ragged multi-sequence loop in ONE XLA
@@ -114,10 +125,17 @@ class ParallelAdaptation:
                 maps
             )
 
-        def event_body(state, ms, colors, depths, K, poses,
-                       prev_i, cur_i, act, rng, *, fuse_prev):
-            """One sequence's event (vmapped over the leading [N] axis)."""
-            pair = gather_pair(colors, depths, K, poses, prev_i, cur_i)
+        def event_body(state, ms, pair, act, rng, *, fuse_prev, masked):
+            """One sequence's event (vmapped over the leading [N] axis).
+
+            ``masked=False`` (round 5, VERDICT r4 #6): when every sequence
+            in the batch is active at this event — the common case, known on
+            the HOST in event-dispatch mode — the per-leaf
+            ``where(act, new, old)`` commit selects are skipped entirely.
+            At B=4 those selects copy the full params/opt-state/map trees
+            (incl. the [B,81920] index-image predicates the round-4 trace
+            flagged) every event for no semantic effect.
+            """
             st = state._replace(step=jnp.zeros((), jnp.int32))
 
             def body(c, _):
@@ -130,15 +148,52 @@ class ParallelAdaptation:
             last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
             new_map, est = fuse(st.params, st.batch_stats, pair, ms,
                                 fuse_prev=fuse_prev)
-            sel = lambda new, old: jnp.where(act, new, old)
-            state = jax.tree_util.tree_map(sel, st, state)
-            ms = jax.tree_util.tree_map(sel, new_map, ms)
-            return state, ms, last, est
+            if masked:
+                sel = lambda new, old: jnp.where(act, new, old)
+                st = jax.tree_util.tree_map(sel, st, state)
+                new_map = jax.tree_util.tree_map(sel, new_map, ms)
+            return st, new_map, last, est
 
         import functools
 
-        vbody0 = jax.vmap(functools.partial(event_body, fuse_prev=True))
-        vbody = jax.vmap(functools.partial(event_body, fuse_prev=False))
+        def gather_pairs_flat(colors, depths, K, poses, prev_i, cur_i):
+            """Batched window assembly as ONE flat 2N-row gather (round 5).
+
+            Under vmap, the per-sequence ``gather_pair`` take lowers to
+            batched dynamic slices (the round-4 B=4 trace's slice-start
+            DMAs, one chain per sequence); flattening the [N, L] frame axes
+            to [N*L] makes the whole assembly a single row gather.
+            """
+            N, L = colors.shape[0], colors.shape[1]
+            base = (jnp.arange(N, dtype=jnp.int32) * L)[:, None]
+            idx = base + jnp.stack([prev_i, cur_i], axis=1)  # [N, 2]
+            flat = lambda x: x.reshape((N * L,) + x.shape[2:])
+            return PairBatch(
+                colors=jnp.take(flat(colors), idx, axis=0),
+                gt_depths=jnp.take(flat(depths), idx, axis=0),
+                intrinsics=K,
+                poses=jnp.take(flat(poses), idx, axis=0),
+            )
+
+        def make_event(fuse_prev, masked):
+            vb = jax.vmap(
+                functools.partial(event_body, fuse_prev=fuse_prev,
+                                  masked=masked),
+            )
+
+            def outer(state, ms, colors, depths, K, poses,
+                      prev_i, cur_i, act, rng):
+                pairs = gather_pairs_flat(
+                    colors, depths, K, poses, prev_i, cur_i
+                )
+                return vb(state, ms, pairs, act, rng)
+
+            return outer
+
+        vbody0 = make_event(True, True)
+        vbody = make_event(False, True)
+        vbody0_all = make_event(True, False)
+        vbody_all = make_event(False, False)
 
         def maybe_compact(maps, ei, est, K, act):
             if compact_period <= 0:
@@ -202,14 +257,15 @@ class ParallelAdaptation:
         # at ~ms of host latency per event (noise against multi-second
         # events). Same event_body, so numerics are identical to whole-run
         # (pinned by tests/test_parallel.py::test_event_dispatch_matches_whole_run).
-        self._event0 = jax.jit(
-            vbody0, in_shardings=(data,) * 10,
+        _ev_jit = lambda fn: jax.jit(
+            fn, in_shardings=(data,) * 10,
             out_shardings=(data,) * 4, donate_argnums=(0, 1),
         )
-        self._event = jax.jit(
-            vbody, in_shardings=(data,) * 10,
-            out_shardings=(data,) * 4, donate_argnums=(0, 1),
-        )
+        self._event0 = _ev_jit(vbody0)
+        self._event = _ev_jit(vbody)
+        # All-active variants (compiled lazily): no commit selects at all.
+        self._event0_all = _ev_jit(vbody0_all)
+        self._event_all = _ev_jit(vbody_all)
         self._compact_period = compact_period
         if compact_period > 0:
             self._compact = jax.jit(
@@ -304,7 +360,14 @@ class ParallelAdaptation:
             # estimates stay on device (async) until the single final sync.
             per_event, ests = [], []
             for e in range(E):
-                fn = self._event0 if e == 0 else self._event
+                # `active` is host-resident: events where EVERY sequence is
+                # live (the common case on similar-length sequences) take
+                # the select-free program.
+                all_act = bool(active[:, e].all())
+                if e == 0:
+                    fn = self._event0_all if all_act else self._event0
+                else:
+                    fn = self._event_all if all_act else self._event
                 state, maps, last, est_e = fn(
                     state, maps, colors, gt_depths, intrinsics, poses,
                     pi[:, e], ci[:, e], act[:, e], rngs[:, e],

@@ -80,7 +80,14 @@ class ParallelRefinement:
             in_shardings=(data, data, data, data),
             out_shardings=(data, data),
         )
-        fuse = self.engine._make_fuse_pair()
+        # Flat batched row ops only when the whole batch lives on one chip
+        # (see ops/batched_rows.py — not provably shard-local otherwise).
+        if mesh_size == 1:
+            from e2eslam_tpu.ops.batched_rows import FLAT_ROW_OPS
+
+            fuse = self.engine._make_fuse_pair(row_ops=FLAT_ROW_OPS)
+        else:
+            fuse = self.engine._make_fuse_pair()
         self._fuse_true = jax.jit(
             jax.vmap(lambda p, bs, pair, m: fuse(p, bs, pair, m, fuse_prev=True)),
             in_shardings=(data, data, data, data),

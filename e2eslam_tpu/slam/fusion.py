@@ -240,6 +240,7 @@ def pointfusion_step_index(
     sigma: float = 0.6,
     level2_period: int = 1,
     search_radius: int = 0,
+    row_ops=None,
 ) -> MapState:
     """Index-image PointFusion: association by gather, fusion by 82k-row
     scatter-sets — no O(N_map)-update scatters or full-map passes anywhere.
@@ -268,6 +269,13 @@ def pointfusion_step_index(
     assert state.index_image is not None, (
         "pointfusion_step_index requires empty_map(..., index_hw=H*W)"
     )
+    if row_ops is None:
+        from e2eslam_tpu.ops.batched_rows import DEFAULT_ROW_OPS
+
+        row_ops = DEFAULT_ROW_OPS
+    # All row gathers/scatters below go through row_ops so the batched
+    # multi-sequence runner can swap in the flat custom-vmap lowering
+    # (ops/batched_rows.py); indices honor its [0, N-1] / [0, N] contracts.
 
     live = frame_pointcloud(frame)
     alpha = _pixel_alpha(H, W, frame.intrinsics, sigma) * live.mask  # [HW]
@@ -291,10 +299,10 @@ def pointfusion_step_index(
                 uo, vo = ui + dx, vi + dy
                 ok = in_prev & (uo >= 0) & (uo < W) & (vo >= 0) & (vo < H)
                 pix_o = jnp.clip(vo, 0, H - 1) * W + jnp.clip(uo, 0, W - 1)
-                cand_o = jnp.take(state.index_image, pix_o)
+                cand_o = row_ops.take(state.index_image, pix_o)
                 ok = ok & (cand_o >= 0) & (live.mask > 0)
-                p_o = jnp.take(
-                    state.data, jnp.clip(cand_o, 0, N - 1), axis=0
+                p_o = row_ops.take(
+                    state.data, jnp.clip(cand_o, 0, N - 1)
                 )[:, 0:3]
                 d_o = jnp.linalg.norm(live.points - p_o, axis=-1)
                 better = ok & (d_o < best_d)
@@ -305,7 +313,7 @@ def pointfusion_step_index(
         q, in_prev = _project_pixels(
             live.points, state.index_pose, frame.intrinsics, H, W
         )
-        cand = jnp.take(state.index_image, q)  # [HW] slot or -1
+        cand = row_ops.take(state.index_image, q)  # [HW] slot or -1
         has_cand = in_prev & (cand >= 0) & (live.mask > 0)
     if state.index_image2 is not None:
         # Two-level fallback (see index_nn): re-associate surfaces that
@@ -313,12 +321,12 @@ def pointfusion_step_index(
         q2, in2 = _project_pixels(
             live.points, state.index_pose2, frame.intrinsics, H, W
         )
-        cand2 = jnp.take(state.index_image2, q2)
+        cand2 = row_ops.take(state.index_image2, q2)
         has2 = in2 & (cand2 >= 0) & (live.mask > 0)
         cand = jnp.where(has_cand, cand, cand2)
         has_cand = has_cand | has2
     cand_c = jnp.clip(cand, 0, N - 1)
-    cand_rows = jnp.take(state.data, cand_c, axis=0)  # ONE packed gather
+    cand_rows = row_ops.take(state.data, cand_c)  # ONE packed gather
     m_pt = cand_rows[:, 0:3]
     m_n = cand_rows[:, 3:6]
     m_clr = cand_rows[:, 6:9]
@@ -351,7 +359,7 @@ def pointfusion_step_index(
     )
     f_clr = blend(m_clr, live.colors)
     fused_rows = pack_rows(f_pt, f_n, f_clr, wsum)
-    data = state.data.at[tgt].set(fused_rows, mode="drop")
+    data = row_ops.set(state.data, tgt, fused_rows)
 
     # ---- 3. append unmatched valid pixels --------------------------------
     new_mask = (live.mask > 0) & ~similar
@@ -360,7 +368,7 @@ def pointfusion_step_index(
     ok = new_mask & (dest < N)
     dest = jnp.where(ok, dest, N)
     live_rows = pack_rows(live.points, live.normals, live.colors, alpha)
-    data = data.at[dest].set(live_rows, mode="drop")
+    data = row_ops.set(data, dest, live_rows)
     count = jnp.minimum(state.count + jnp.sum(new_mask.astype(jnp.int32)), N)
 
     # ---- 4. refresh the index image for THIS keyframe --------------------

@@ -72,7 +72,8 @@ class PointFusion:
     # appends caused by projection rounding / winner overwrites.
     index_search_radius: int = 0
 
-    def _update_map(self, state: MapState, frame: RGBDFrame) -> MapState:
+    def _update_map(self, state: MapState, frame: RGBDFrame,
+                    row_ops=None) -> MapState:
         if self.fusion_impl == "index":
             from e2eslam_tpu.slam.fusion import pointfusion_step_index
 
@@ -84,6 +85,7 @@ class PointFusion:
                 sigma=self.sigma,
                 level2_period=self.index_level2_period,
                 search_radius=self.index_search_radius,
+                row_ops=row_ops,
             )
         return pointfusion_step(
             state,
@@ -112,6 +114,7 @@ class PointFusion:
         state: MapState,
         live_frame: RGBDFrame,
         prev_frame: Optional[RGBDFrame] = None,
+        row_ops=None,
     ):
         """Localize the live frame (unless prev is None) and fuse it.
 
@@ -126,7 +129,11 @@ class PointFusion:
             live_frame = build_frame(
                 live_frame.color, live_frame.depth, live_frame.intrinsics, pose
             )
-        return self._update_map(state, live_frame), pose, live_frame
+        return (
+            self._update_map(state, live_frame, row_ops=row_ops),
+            pose,
+            live_frame,
+        )
 
     def __call__(
         self,

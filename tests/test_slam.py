@@ -678,3 +678,47 @@ def test_sequence_program_periodic_compaction(seq):
     # Quality must not collapse: compaction merges surfels, it doesn't
     # destroy the map the 3D loss supervises against.
     assert comp["mean_abs_rel"] < max(2.5 * base["mean_abs_rel"], 0.5)
+
+
+def test_flat_row_ops_match_plain_under_vmap():
+    """ops/batched_rows FLAT_ROW_OPS == vmapped plain ops on the fusion
+    index contracts (take: idx in [0, N-1]; set: idx in [0, N], N drops)."""
+    from e2eslam_tpu.ops.batched_rows import DEFAULT_ROW_OPS, FLAT_ROW_OPS
+
+    rng = np.random.default_rng(0)
+    B, N, HW = 3, 64, 37
+    data = jnp.asarray(rng.normal(size=(B, N, 16)).astype(np.float32))
+    idx_g = jnp.asarray(rng.integers(0, N, size=(B, HW)).astype(np.int32))
+    # scatter targets include N (= drop) and duplicates
+    idx_s = jnp.asarray(rng.integers(0, N + 1, size=(B, HW)).astype(np.int32))
+    rows = jnp.asarray(rng.normal(size=(B, HW, 16)).astype(np.float32))
+    vec = jnp.asarray(rng.integers(-1, N, size=(B, HW)).astype(np.int32))
+
+    got = jax.vmap(FLAT_ROW_OPS.take)(data, idx_g)
+    want = jax.vmap(DEFAULT_ROW_OPS.take)(data, idx_g)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # 1-D operand (index-image lookup); values may be -1 but INDICES are
+    # in-range — here take a 1-D per-sequence array with in-range indices.
+    im = jnp.asarray(rng.integers(-1, N, size=(B, N)).astype(np.int32))
+    got1 = jax.vmap(FLAT_ROW_OPS.take)(im, idx_g)
+    want1 = jax.vmap(DEFAULT_ROW_OPS.take)(im, idx_g)
+    np.testing.assert_array_equal(np.asarray(got1), np.asarray(want1))
+    del vec
+
+    # Scatter-set with duplicate indices: XLA leaves duplicate resolution
+    # unspecified, so compare against a per-sequence numpy last-writer
+    # reference only where each target has a UNIQUE source, and check the
+    # drop row (idx == N) never lands anywhere.
+    got_s = jax.vmap(FLAT_ROW_OPS.set)(data, idx_s, rows)
+    want_s = jax.vmap(DEFAULT_ROW_OPS.set)(data, idx_s, rows)
+    idx_np = np.asarray(idx_s)
+    for b in range(B):
+        tgt, counts = np.unique(idx_np[b], return_counts=True)
+        unique_tgts = set(tgt[(counts == 1)]) - {N}
+        untouched = set(range(N)) - set(tgt.tolist())
+        for t in sorted(unique_tgts | untouched):
+            np.testing.assert_array_equal(
+                np.asarray(got_s)[b, t], np.asarray(want_s)[b, t],
+                err_msg=f"row {t} of sequence {b}",
+            )
