@@ -635,3 +635,42 @@ def test_bucketed_fusion_slice_parity(pair):
     )
     np.testing.assert_allclose(a["mean_abs_rel"], b["mean_abs_rel"],
                                rtol=1e-3)
+
+
+def test_compaction_between_resorts_stays_exact(pair):
+    """END-TO-END interaction the staleness guard exists for (ADVICE r4):
+    periodic compaction SHRINKS the live map between the periodic Morton
+    re-sorts of the exact-KNN view. The host loop invalidates the cached
+    perm on every compaction (engine/adaptation.py), so the run must match
+    the period-1 (fresh sort every keyframe) run — if a stale perm ever
+    survived a compaction the KNN would search a wrong row subset and
+    metrics would diverge wildly, not by tie-break noise."""
+    from e2eslam_tpu.engine.adaptation import OnlineAdaptation
+
+    def run(period):
+        cfg = load_yaml(default_config_path())
+        cfg.DATA.name = "synthetic"
+        cfg.DATA.height, cfg.DATA.width = H, W
+        cfg.DEMO.sequence_length = 10
+        cfg.DEMO.frame_threshold = 0.01
+        cfg.DATA.dilation = 2
+        cfg.OPTIMIZATION.refinement_steps = 2
+        cfg.LOSS.three3d_loss = True
+        cfg.LOSS.knn_impl = "brute"
+        cfg.LOSS.knn_sort_period = period
+        cfg.LOSS.knn_bucket_quantum = 8192
+        cfg.MODEL.compact_period = 3
+        cfg.MODEL.compact_mode = "projective"
+        runner = OnlineAdaptation(cfg)
+        runner.use_sequence_program = False
+        out = runner.run(verbose=False)
+        return out
+
+    a = run(1)
+    b = run(4)
+    assert a["num_keyframes"] == b["num_keyframes"]
+    assert abs(a["map_points"] - b["map_points"]) <= max(
+        8, a["map_points"] // 500
+    )
+    np.testing.assert_allclose(a["mean_abs_rel"], b["mean_abs_rel"],
+                               rtol=1e-3)
