@@ -105,6 +105,7 @@ class OnlineAdaptation:
         self.state = self.engine.init_state(params, batch_stats, (self.F_ref, H, W))
         self._sort_cache = None  # {perm, inv, bucket, age, known}
         self._count_fetches = []  # (kf index, async count copy) ring
+        self._last_bucket = 0  # per-run monotone bucket floor
 
     def _sort_cache_stale(self, period: int, bucket: int, known: int) -> bool:
         """Decide whether the cached Morton perm must be rebuilt.
@@ -224,6 +225,13 @@ class OnlineAdaptation:
         kf_hist: List[int] = [0]  # processed keyframes (frame 0 = first prev)
         self._count_fetches = []  # (kf index, async count copy) ring
         self._sort_cache = None  # {perm, inv, bucket, age} — see below
+        self._last_bucket = 0  # monotone bucket floor (see below)
+        # Cross-keyframe KNN warm start (round 5): the previous keyframe's
+        # final NN indices seed the next keyframe's step-0 branch-and-bound
+        # — but only while the cached Morton perm is STABLE (regather
+        # keyframes), because the indices are positions in the sorted view.
+        # A fresh sort, bucket growth, or compaction invalidates them.
+        last_kc = None
         for prev, frame in keyframe_schedule(
             np.asarray(jax.device_get(poses)), threshold
         ):
@@ -256,6 +264,7 @@ class OnlineAdaptation:
                 # into ONE XLA program (single dispatch per keyframe).
                 rng, sub = jax.random.split(rng)
                 mi = None
+                perm_stable = False
                 if self._bucketed_sort:
                     # Exact-brute modes only: hand process_pair a BUCKETED
                     # sorted view so the KNN grid and the per-keyframe
@@ -282,6 +291,16 @@ class OnlineAdaptation:
                     q = int(cfg.LOSS.get("knn_bucket_quantum", 0)
                             or (1 << 20))
                     bucket = min(-(-ub // q) * q, self.engine.map_capacity)
+                    # Monotone within a run: compaction can drop the live
+                    # count below a quantum boundary and the async-poll lag
+                    # makes the exact crossing keyframe nondeterministic —
+                    # a shrinking bucket then compiles NEW program variants
+                    # mid-steady-run (observed: the compact+chamfer row
+                    # fell 0.96 -> 0.23 steps/s, 2_exact_r5c_compact.log).
+                    # A slightly-large view costs a few ms; a fresh XLA
+                    # compile of the exact program costs ~a minute.
+                    bucket = max(bucket, self._last_bucket)
+                    self._last_bucket = bucket
                     if os.environ.get("E2ESLAM_DEBUG_BUCKET"):
                         print(f"[bucket] kf={len(kf_hist)} known={known} "
                               f"lag={lag} ub={ub} bucket={bucket}",
@@ -319,8 +338,12 @@ class OnlineAdaptation:
                         mi = regather_sorted(pts, sc["perm"], sc["inv"])
                         sc["age"] += 1
                         sc["known"] = max(sc.get("known", 0), known)
-                state, global_map, step_metrics, est_pose = self.engine.process_pair(
-                    state, pair, global_map, sub, mi, fuse_prev=first_iter
+                        perm_stable = True
+                seed = last_kc if perm_stable else None
+                (state, global_map, step_metrics, est_pose,
+                 last_kc) = self.engine.process_pair(
+                    state, pair, global_map, sub, mi, seed,
+                    fuse_prev=first_iter, return_knn_cache=True,
                 )
                 if self._bucketed_sort:
                     # Enqueue this keyframe's post-fusion count for a
@@ -347,6 +370,7 @@ class OnlineAdaptation:
                         bucket=(bucket if self._bucketed_sort else None),
                     )
                     self._sort_cache = None
+                    last_kc = None  # rows moved — seeds are stale positions
                 total_refine_steps += refinement_steps
             else:
                 state = state._replace(step=jnp.zeros((), jnp.int32))

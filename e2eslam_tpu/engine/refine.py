@@ -370,6 +370,7 @@ class RefinementEngine:
         rng: Array,
         map_index=None,
         knn_init=None,
+        thread_knn: bool = False,
     ) -> Tuple[Array, Dict[str, Array]]:
         """...
 
@@ -575,6 +576,37 @@ class RefinementEngine:
                 return jax.lax.stop_gradient(
                     jnp.take(map_index.inv_perm, cand)
                 )
+            _qp_cache = {}
+
+            def get_qperm(q_sg):
+                """Query Morton permutation for the candidate-table KNN.
+
+                The 82k argsort costs ~26 ms on chip — as much as the
+                whole candidate-path saving — so it is computed ONCE (at
+                warm-cache misses) and threaded across refine steps and
+                keyframes through the ``_knn_idx`` carry. ANY permutation
+                is exactness-preserving (ops/knn.py unsorts results), so
+                staleness never needs invalidation.
+                """
+                if "v" not in _qp_cache:
+                    qp = None if knn_init is None else knn_init.get("qperm")
+                    if qp is None:
+                        from e2eslam_tpu.ops.spatial_sort import (
+                            morton_codes,
+                        )
+
+                        qp = jnp.argsort(
+                            morton_codes(
+                                q_sg,
+                                jnp.ones(q_sg.shape[0], dtype=bool),
+                            ),
+                            stable=True,
+                        )
+                    qp = jax.lax.stop_gradient(qp)
+                    _qp_cache["v"] = qp
+                    aux.setdefault("_knn_idx", {})["qperm"] = qp
+                return _qp_cache["v"]
+
             # Empty-map gate: the reference skips the 3D loss on the first
             # keyframe (``first_iter``, online_adaption.py:535); here the gate
             # is a multiply so the jitted step handles both cases.
@@ -671,8 +703,13 @@ class RefinementEngine:
                     ki = None if knn_init is None else knn_init.get("three3d")
                     if ki is None:
                         ki = tail_seed(jax.lax.stop_gradient(pts))
+                    # thread_knn gates BOTH the compute and the aux
+                    # emission so the scan carry keeps one structure
+                    # across cold/warm steps.
+                    qp = (get_qperm(jax.lax.stop_gradient(pts))
+                          if thread_knn else None)
                     _, idx = knn_points_loss(
-                        map_pts, pts, n_gt=map_count, init_idx=ki
+                        map_pts, pts, n_gt=map_count, init_idx=ki, q_perm=qp
                     )
                     # Warm-start cache for the NEXT refinement step (and for
                     # the chamfer a->b below — identical query/ref clouds).
@@ -761,9 +798,11 @@ class RefinementEngine:
                                  else knn_init.get("ab"))
                         if ki_ab is None:
                             ki_ab = tail_seed(jax.lax.stop_gradient(pts))
+                        qp_ab = (get_qperm(jax.lax.stop_gradient(pts))
+                                 if thread_knn else None)
                         idx_ab = jax.lax.stop_gradient(
                             knn(jax.lax.stop_gradient(pts), map_pts,
-                                map_count, init_idx=ki_ab)[1]
+                                map_count, init_idx=ki_ab, q_perm=qp_ab)[1]
                         )
                     aux.setdefault("_knn_idx", {})["ab"] = idx_ab
                     d_ab = _masked_point_loss(
@@ -865,6 +904,7 @@ class RefinementEngine:
                 loss, aux = self._assemble_losses(
                     pair, disp, depth, outputs, map_state, init, rng,
                     map_index=map_index, knn_init=knn_init,
+                    thread_knn=return_knn_cache,
                 )
                 aux["depth"] = depth
                 aux["init"] = init
@@ -1113,7 +1153,7 @@ class RefinementEngine:
         fuse = self._make_fuse_pair()
 
         def process(state: RefineState, pair: PairBatch, map_state: MapState,
-                    rng, map_index=None, *, fuse_prev: bool):
+                    rng, map_index=None, knn_init0=None, *, fuse_prev: bool):
             # map_index may be precomputed by the caller (the adaptation
             # loop passes a BUCKETED SortedMap so the exact KNN's grid
             # scales with the actual map size, not the buffer capacity —
@@ -1162,12 +1202,22 @@ class RefinementEngine:
                 kc = metrics.pop("_knn_idx")
                 return (st, key, kc), metrics
 
+            kcache = None
             if R > 0 and warm:
-                # Cold step 0 (same rng sequence as the single-scan path).
+                # Step 0: cold with the tail seed — or CROSS-KEYFRAME warm
+                # when the host loop hands us the previous keyframe's final
+                # NN indices (round 5). Valid only while the cached Morton
+                # perm is stable (regather keyframes): positions in the
+                # sorted view then refer to the same rows, and any
+                # in-range index is a sound branch-and-bound seed (it is
+                # re-scored to an ACHIEVED distance before pruning), so
+                # results stay exact; the same rng sequence as the
+                # single-scan path is preserved.
                 rng, sub = jax.random.split(rng)
-                state, m0 = step(state, pair, map_state, map_index, sub)
+                state, m0 = step(state, pair, map_state, map_index, sub,
+                                 knn_init=knn_init0)
                 kcache = m0.pop("_knn_idx")
-                (state, _, _), metrics = jax.lax.scan(
+                (state, _, kcache), metrics = jax.lax.scan(
                     body_warm, (state, rng, kcache), None, length=R - 1
                 )
                 last = jax.tree_util.tree_map(lambda x: x[-1], metrics)
@@ -1189,7 +1239,7 @@ class RefinementEngine:
                         full_map.data, new_map.data, (0, 0)
                     )
                 )
-            return state, new_map, last, est_pose
+            return state, new_map, last, est_pose, kcache
 
         return process
 
@@ -1294,25 +1344,31 @@ class RefinementEngine:
             pair0 = gather_pair(
                 colors, gt_depths, K, poses, prev_idx[0], cur_idx[0]
             )
-            state, map_state, m0, p0 = process(
+            state, map_state, m0, p0, kc0 = process(
                 state, pair0, map_state, sub, fuse_prev=True
             )
             map_state = maybe_compact(map_state, jnp.int32(0), p0, K)
 
+            # Cross-keyframe warm start threads through the scan carry when
+            # the brute/warm path is active (kc0 is None otherwise — a None
+            # carry leaf is structure-stable). In-program the map view is
+            # the full un-bucketed buffer, so cache sizes never change; the
+            # per-keyframe fresh sort only loosens the seed (re-scored
+            # bound), never correctness.
             def body(carry, event):
-                st, ms, key = carry
+                st, ms, kc, key = carry
                 pi, ci, ei = event
                 key, sub = jax.random.split(key)
                 pair = gather_pair(colors, gt_depths, K, poses, pi, ci)
-                st, ms, metrics, est = process(
-                    st, pair, ms, sub, fuse_prev=False
+                st, ms, metrics, est, kc = process(
+                    st, pair, ms, sub, None, kc, fuse_prev=False
                 )
                 ms = maybe_compact(ms, ei, est, pair.intrinsics)
-                return (st, ms, key), (metrics, est)
+                return (st, ms, kc, key), (metrics, est)
 
             E = prev_idx.shape[0]
-            (state, map_state, _), (metrics, est_poses) = jax.lax.scan(
-                body, (state, map_state, rng),
+            (state, map_state, _, _), (metrics, est_poses) = jax.lax.scan(
+                body, (state, map_state, kc0, rng),
                 (prev_idx[1:], cur_idx[1:],
                  jnp.arange(1, E, dtype=jnp.int32)),
             )
@@ -1513,15 +1569,21 @@ class RefinementEngine:
         """PFT step that also returns the gradient pytree (observability)."""
         return self._pft_step_grads(state, pair, map_state, map_index, rng)
 
-    def process_pair(self, state, pair, map_state, rng, map_index=None, *,
-                     fuse_prev: bool):
+    def process_pair(self, state, pair, map_state, rng, map_index=None,
+                     knn_init0=None, *, fuse_prev: bool,
+                     return_knn_cache: bool = False):
         """Whole-keyframe fast path: R refine steps + fusion, one dispatch.
 
         ``map_index``: optional precomputed 3D-loss index (e.g. a bucketed
         SortedMap from :meth:`build_map_index`); None = build in-program.
+        ``knn_init0``: optional cross-keyframe warm-start dict (the previous
+        keyframe's final ``_knn_idx`` cache) — sound only while the sorted
+        view's perm is stable; ``return_knn_cache`` also returns this
+        keyframe's final cache as a 5th element.
         """
-        return self._process_pair(state, pair, map_state, rng, map_index,
-                                  fuse_prev=fuse_prev)
+        out = self._process_pair(state, pair, map_state, rng, map_index,
+                                 knn_init0, fuse_prev=fuse_prev)
+        return out if return_knn_cache else out[:4]
 
     def process_sequence(self, state, map_state, colors, gt_depths, K, poses,
                          prev_idx, cur_idx, rng):

@@ -38,6 +38,7 @@ def knn_points_loss(
     n_gt=None,
     n_query=None,
     init_idx=None,
+    q_perm=None,
 ) -> Tuple[Array, Array]:
     """Mean squared distance from each query point to its NN in ``gt_points``.
 
@@ -66,6 +67,7 @@ def knn_points_loss(
         n_gt,
         n_query,
         init_idx=init_idx,
+        q_perm=q_perm,
     )
     idx = jax.lax.stop_gradient(idx)
     nn_pts = jnp.take(gt_points, idx, axis=0)

@@ -64,6 +64,15 @@ _QT = 256  # query tile (sublane-friendly)
 # steps ~ half the SLAM-layout wall time) at the cost of coarser bbox
 # pruning granularity. [QT, RT] f32 scores stay ~8 MB VMEM.
 _RT = 8192
+# Candidate-table ref tile (round 5): with tile selection driven by the
+# prefetched table the sweep length no longer scales with nr/_RT, so the
+# tile can be finer — 4x finer bboxes mean ~2x fewer ROWS visited per
+# query tile (measured on chip: 139 -> 101 ms/warm-call at 82k x 1.57M).
+# RT=1024 and below fail Mosaic compilation at this grid.
+_RT_CAND = 2048
+# Static width of the candidate table (per query tile); any tile needing
+# more falls the whole call back to the dense sweep.
+_MAX_CAND = 128
 _NEG = -1e30  # bias sentinel for invalid reference rows
 
 
@@ -76,7 +85,7 @@ def _pad_to(x: Array, size: int, axis: int, value=0.0) -> Array:
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _make_knn_kernel(nrt: int, warm: bool):
+def _make_knn_kernel(nrt: int, warm: bool, cand: bool = False, rt: int = _RT):
     """Kernel factory closing over the (static) reference tile count.
 
     Reference tiles are visited newest-first: grid step j maps to tile
@@ -95,9 +104,29 @@ def _make_knn_kernel(nrt: int, warm: bool):
     without a candidate carry score -1e30 (identical to cold start).
     ``warm=False`` compiles the exact kernel layout verified on chip in
     0_knncheck_r4c_clamped.log — the cold path is byte-identical.
+
+    ``cand=True`` (round 5, implies warm): the CANDIDATE-TABLE grid. Two
+    extra scalar-prefetch arrays (cand_ref [n_qt, MAX_CAND] int32,
+    cnt_ref [n_qt] int32) drive ref-tile selection: grid axis j indexes
+    the table instead of sweeping every ref tile, so the DMA pipeline
+    streams ONLY the few tiles the seeded bound cannot prune (the dense
+    warm sweep re-streamed the entire multi-M-row map once per query
+    tile — ~16 GB per 82k x 3M call for blocks whose compute was then
+    elided). The table is built outside (knn_pallas) as every tile whose
+    bbox lower bound beats the seeded threshold (with an ulp guard), in
+    best-first (ascending lb) order; entries past cnt repeat the last
+    candidate so their steps re-use the resident block (no DMA).
     """
 
-    def _knn_kernel(nq_ref, nr_ref, rbb_ref, q_ref, r_ref, *refs):
+    def _knn_kernel(*refs):
+        if cand:
+            (nq_ref, nr_ref, rbb_ref, cand_ref, cnt_ref,
+             q_ref, r_ref) = refs[:7]
+            refs = refs[7:]
+        else:
+            nq_ref, nr_ref, rbb_ref, q_ref, r_ref = refs[:5]
+            cand_ref = cnt_ref = None
+            refs = refs[5:]
         if warm:
             s0_ref, i0_ref, score_ref, idx_ref, wb_ref, qbb_ref = refs
         else:
@@ -105,14 +134,15 @@ def _make_knn_kernel(nrt: int, warm: bool):
             s0_ref = i0_ref = None
         _knn_kernel_body(nq_ref, nr_ref, rbb_ref, q_ref, r_ref,
                          s0_ref, i0_ref, score_ref, idx_ref, wb_ref,
-                         qbb_ref, nrt=nrt)
+                         qbb_ref, nrt=nrt, cand_ref=cand_ref,
+                         cnt_ref=cnt_ref, rt=rt)
 
     return _knn_kernel
 
 
 def _knn_kernel_body(nq_ref, nr_ref, rbb_ref, q_ref, r_ref,
                      s0_ref, i0_ref, score_ref, idx_ref, wb_ref, qbb_ref,
-                     *, nrt: int):
+                     *, nrt: int, cand_ref=None, cnt_ref=None, rt: int = _RT):
     """One (query-tile i, ref-tile jr) step of the running-max MXU KNN.
 
     q_ref: [QT, 4] augmented query block (VMEM) — [qx, qy, qz, 1]
@@ -142,7 +172,10 @@ def _knn_kernel_body(nq_ref, nr_ref, rbb_ref, q_ref, r_ref,
     """
     i = pl.program_id(0)
     j = pl.program_id(1)
-    jr = nrt - 1 - j  # newest-first
+    if cand_ref is None:
+        jr = nrt - 1 - j  # newest-first
+    else:
+        jr = cand_ref[i, j]  # best-first candidate table
 
     @pl.when(j == 0)
     def _init():
@@ -174,11 +207,15 @@ def _knn_kernel_body(nq_ref, nr_ref, rbb_ref, q_ref, r_ref,
 
     # Bbox lower bound between every q in tile i and every r in tile jr:
     # per-axis gap max(0, qmin - rmax, rmin - qmax), summed squared.
+    # rbb layout is [8, n_tiles] — axis-major — so each 8-float column
+    # costs 4 SMEM bytes per lane instead of a 128-lane padded row
+    # (a [n_tiles, 8] table padded to (·,128) lanes hit 1 MB SMEM at
+    # 2048 tiles — the round-5 capacity-scale OOM).
     lb2 = jnp.float32(0.0)
     for ax in range(3):
         gap = jnp.maximum(
-            jnp.maximum(qbb_ref[ax] - rbb_ref[jr, 3 + ax],
-                        rbb_ref[jr, ax] - qbb_ref[3 + ax]),
+            jnp.maximum(qbb_ref[ax] - rbb_ref[3 + ax, jr],
+                        rbb_ref[ax, jr] - qbb_ref[3 + ax]),
             0.0,
         )
         lb2 = lb2 + gap * gap
@@ -188,10 +225,12 @@ def _knn_kernel_body(nq_ref, nr_ref, rbb_ref, q_ref, r_ref,
     # cut — blocks whose bbox bound can't beat the current worst best.
     # The DMA still streams skipped blocks; compute is elided.
     run = (
-        (jr * _RT < nr_ref[0])
+        (jr * rt < nr_ref[0])
         & (i * _QT < nq_ref[0])
         & (lb2 < wb_ref[0, 0])
     )
+    if cnt_ref is not None:
+        run = run & (j < cnt_ref[i])
 
     @pl.when(run)
     def _body():
@@ -209,7 +248,7 @@ def _knn_kernel_body(nq_ref, nr_ref, rbb_ref, q_ref, r_ref,
             precision=jax.lax.Precision.HIGHEST,
         )  # [QT, RT] — q.r - 0.5|r|^2 on the MXU
         tile_max = jnp.max(scores, axis=1)  # [QT]
-        tile_arg = jnp.argmax(scores, axis=1).astype(jnp.int32) + jr * _RT
+        tile_arg = jnp.argmax(scores, axis=1).astype(jnp.int32) + jr * rt
 
         cur = score_ref[0, :]
         better = tile_max > cur
@@ -229,8 +268,8 @@ def _knn_kernel_body(nq_ref, nr_ref, rbb_ref, q_ref, r_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def knn_pallas(query: Array, ref: Array, nr=None, nq=None, init_idx=None, *,
-               interpret: bool = False):
+def knn_pallas(query: Array, ref: Array, nr=None, nq=None, init_idx=None,
+               q_perm=None, *, interpret: bool = False):
     """Top-1 KNN: for each query point, nearest reference point.
 
     Args:
@@ -270,6 +309,51 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, init_idx=None, *,
     nr_pad = -(-Nr // _RT) * _RT
 
     q = query.astype(jnp.float32)
+
+    # ---- Candidate-path gate + query Morton sort (round 5) ---------------
+    # Decided up front because the whole query side is processed in sorted
+    # order when active. Sorting queries makes each 256-query tile
+    # spatially TIGHT, which matters twice: (a) the per-tile threshold is
+    # the max seeded distance over the tile — in raster order one
+    # loose-seeded query (new surface, post-append) poisons its whole
+    # tile's bound, and one overflowing tile forces the ENTIRE call onto
+    # the dense fallback (the r5b in-engine trace showed ~half of warm
+    # calls falling back); sorted, loose queries cluster into few tiles;
+    # (b) tight tiles shrink every tile's candidate set (measured: mean
+    # candidates 16.9 -> 8.2 at RT 8192). Results are unsorted at the end;
+    # ref indices are unaffected. Gated to the small-query candidate path
+    # (the map->frame direction's queries are the already-sorted map).
+    _MC = _MAX_CAND
+    rt_c = min(_RT_CAND, _RT)  # tests shrink _RT below _RT_CAND
+    nrt_c = nr_pad // rt_c
+    warm = init_idx is not None
+    use_cand = (
+        warm
+        and nrt_c > _MC  # otherwise the dense sweep is already short
+        and (nq_pad // _QT) <= 2048  # SMEM budget for the prefetch table
+    )
+    # ``q_perm``: optional caller-provided query permutation. The Morton
+    # argsort costs ~26 ms at 82k queries on v5e — as much as the whole
+    # candidate-path win per call — so the engine computes it once and
+    # threads it across refine steps/keyframes through the warm-start
+    # cache. ANY permutation preserves exactness (results are unsorted at
+    # the end); a stale one only loosens tile tightness.
+    qperm = None
+    if use_cand:
+        if q_perm is not None:
+            qperm = jnp.asarray(q_perm, jnp.int32)
+        else:
+            from e2eslam_tpu.ops.spatial_sort import morton_codes
+
+            codes = morton_codes(
+                q, jnp.arange(Nq, dtype=jnp.int32) < nq[0]
+            )
+            qperm = jnp.argsort(codes, stable=True)
+        q = jnp.take(q, qperm, axis=0)
+        init_idx = jnp.take(
+            jnp.asarray(init_idx, jnp.int32), qperm, axis=0
+        )
+
     q4 = jnp.concatenate([q, jnp.ones((Nq, 1), jnp.float32)], axis=1)
     q4 = _pad_to(q4, nq_pad, 0)
 
@@ -293,17 +377,17 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, init_idx=None, *,
     # Padded/stale rows only ever WIDEN a bbox (bounds stay valid — pruning
     # stays exact, just less effective on partially-valid tiles).
     def tile_bbox(pts, tile):
+        # Returns AXIS-MAJOR [8, n_tiles] (see the kernel-body comment).
         t = pts.reshape(-1, tile, 3)
         return jnp.concatenate(
             [jnp.min(t, axis=1), jnp.max(t, axis=1),
              jnp.zeros((t.shape[0], 2), jnp.float32)], axis=1
-        )  # [n_tiles, 8]
+        ).T  # [8, n_tiles]
 
     rbb = tile_bbox(_pad_to(r, nr_pad, 0), _RT)
 
     grid = (nq_pad // _QT, nr_pad // _RT)
     nrt = grid[1]
-    warm = init_idx is not None
     warm_inputs, warm_specs = [], []
     if warm:
         # Re-score each candidate at the CURRENT positions: an ACHIEVED
@@ -330,8 +414,100 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, init_idx=None, *,
             pl.BlockSpec((1, 1, _QT), lambda i, j, *s: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
+    def dense_call():
+        return _dense_pallas_call(
+            nrt, warm, grid, warm_specs, nq, nr, rbb, q4, r4t, warm_inputs,
+            rt=_RT, interpret=interpret,
+        )
+
+    # ---- Candidate-table fast path (round 5) -----------------------------
+    # With warm seeds the branch-and-bound threshold is known OUTSIDE the
+    # kernel, so the tiles that could possibly beat it are computable in
+    # XLA: per query tile, every ref tile whose bbox lower bound is under
+    # the tile's seeded worst-best distance. The dense warm sweep streamed
+    # the ENTIRE ref array once per query tile (~16 GB of DMA per
+    # 82k x 3M call) only to elide compute on ~99% of blocks; the table
+    # grid streams candidate tiles only. Exact: the candidate set contains
+    # every tile the dense kernel could visit given the same initial bound
+    # (ulp guard below), and the in-kernel test still prunes in-flight.
+    # Falls back to the dense sweep (lax.cond — both variants live in the
+    # compiled program) whenever any tile's candidate count exceeds the
+    # static table width, e.g. unseeded queries whose threshold is the
+    # no-candidate sentinel.
+    if use_cand:
+        n_qt = nq_pad // _QT
+        s0p = _pad_to(s0, nq_pad, 0, value=_NEG)
+        q2p = jnp.sum(q4 * q4, axis=1) - 1.0  # matches the in-kernel q2
+        colq = jnp.arange(nq_pad, dtype=jnp.int32)
+        d2_0 = jnp.where(colq < nq[0], q2p - 2.0 * s0p, -jnp.inf)
+        wb0 = jnp.max(d2_0.reshape(n_qt, _QT), axis=1)  # [n_qt]
+
+        # Fine-granularity ref bboxes: the table grid's length is bounded
+        # by _MAX_CAND, not nr/rt, so the tile can be 4x finer than the
+        # dense sweep's — tighter bounds, ~2x fewer rows visited.
+        rbb_c = tile_bbox(_pad_to(r, nr_pad, 0), rt_c)
+        qp = _pad_to(q, nq_pad, 0).reshape(n_qt, _QT, 3)
+        qmin = jnp.min(qp, axis=1)  # [n_qt, 3]
+        qmax = jnp.max(qp, axis=1)
+        rmin = rbb_c[0:3, :].T  # [nrt_c, 3] (table is axis-major)
+        rmax = rbb_c[3:6, :].T
+        gap = jnp.maximum(
+            jnp.maximum(qmin[:, None, :] - rmax[None, :, :],
+                        rmin[None, :, :] - qmax[:, None, :]),
+            0.0,
+        )
+        lb2 = jnp.sum(gap * gap, axis=-1)  # [n_qt, nrt_c]
+        tile_valid = (jnp.arange(nrt_c, dtype=jnp.int32) * rt_c) < nr[0]
+        lb2 = jnp.where(tile_valid[None, :], lb2, jnp.inf)
+        # Ulp guard: the outside-f32 reduction order differs from the
+        # kernel's, so admit borderline-equal tiles rather than risk
+        # excluding one the kernel would have visited.
+        thresh = wb0 * (1.0 + 1e-6) + 1e-9
+        is_cand = lb2 < thresh[:, None]
+        counts = jnp.sum(is_cand.astype(jnp.int32), axis=1)  # [n_qt]
+        fits = jnp.max(counts) <= _MAX_CAND
+
+        order = jnp.argsort(
+            jnp.where(is_cand, lb2, jnp.inf), axis=1
+        )[:, :_MAX_CAND].astype(jnp.int32)  # best-first
+        cnt = jnp.minimum(counts, _MAX_CAND).astype(jnp.int32)
+        # Entries past cnt repeat the last candidate: their grid steps
+        # keep the same block index, so Mosaic skips the re-DMA.
+        last = jnp.take_along_axis(
+            order, jnp.maximum(cnt - 1, 0)[:, None], axis=1
+        )
+        jj = jnp.arange(_MAX_CAND, dtype=jnp.int32)
+        cand = jnp.where(
+            jj[None, :] < jnp.maximum(cnt, 1)[:, None], order, last
+        )
+
+        def cand_call():
+            return _cand_pallas_call(
+                nrt_c, grid[0], _MAX_CAND, warm_specs, nq, nr, rbb_c,
+                cand, cnt, q4, r4t, warm_inputs, rt=rt_c,
+                interpret=interpret,
+            )
+
+        scores, idx = jax.lax.cond(fits, cand_call, dense_call)
+    else:
+        scores, idx = dense_call()
+    # Rows are replicated 8x within each tile block; keep row 0 of each.
+    best_score = scores[::8].reshape(-1)[:Nq]
+    best_idx = idx[::8].reshape(-1)[:Nq]
+    q2 = jnp.sum(q * q, axis=1)
+    d2 = jnp.maximum(q2 - 2.0 * best_score, 0.0)
+    if qperm is not None:
+        # Undo the query Morton sort: row p of the sorted results belongs
+        # to original query qperm[p].
+        d2 = jnp.zeros_like(d2).at[qperm].set(d2)
+        best_idx = jnp.zeros_like(best_idx).at[qperm].set(best_idx)
+    return d2, best_idx
+
+
+def _dense_pallas_call(nrt, warm, grid, warm_specs, nq, nr, rbb, q4, r4t,
+                       warm_inputs, rt=_RT, interpret=False):
     scores, idx = pl.pallas_call(
-        _make_knn_kernel(nrt, warm),
+        _make_knn_kernel(nrt, warm, rt=rt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             # nq, nr and the REF bbox table ride scalar prefetch (SMEM whole
             # arrays, dynamically indexed in-kernel): at RT=8192 the table
@@ -368,12 +544,12 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, init_idx=None, *,
                 # no DMA at all. At mid-sequence maps (valid ~40% of
                 # capacity) this was ~60% of all grid steps.
                 pl.BlockSpec(
-                    (4, _RT),
+                    (4, rt),
                     lambda i, j, nq, nr, rbb: (
                         0,
                         jnp.minimum(
                             nrt - 1 - j,
-                            jnp.maximum((nr[0] - 1) // _RT, 0),
+                            jnp.maximum((nr[0] - 1) // rt, 0),
                         ),
                     ),
                     memory_space=pltpu.VMEM,
@@ -396,12 +572,57 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, init_idx=None, *,
         ],
         interpret=interpret,
     )(nq, nr, rbb, q4, r4t, *warm_inputs)
-    # Rows are replicated 8x within each tile block; keep row 0 of each.
-    best_score = scores[::8].reshape(-1)[:Nq]
-    best_idx = idx[::8].reshape(-1)[:Nq]
-    q2 = jnp.sum(q * q, axis=1)
-    d2 = jnp.maximum(q2 - 2.0 * best_score, 0.0)
-    return d2, best_idx
+    return scores, idx
+
+
+def _cand_pallas_call(nrt, n_qt, max_cand, warm_specs, nq, nr, rbb,
+                      cand, cnt, q4, r4t, warm_inputs, rt=_RT,
+                      interpret=False):
+    """Candidate-table grid: j indexes cand[i] instead of sweeping tiles.
+
+    Always warm (the table exists only because seeds do). The ref block's
+    index_map reads the prefetched table, so the DMA pipeline streams
+    exactly the candidate tiles, best-first; clamped (repeated) trailing
+    entries re-use the resident block at zero DMA.
+    """
+    scores, idx = pl.pallas_call(
+        _make_knn_kernel(nrt, True, cand=True, rt=rt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,  # nq, nr, rbb, cand, cnt
+            grid=(n_qt, max_cand),
+            in_specs=[
+                pl.BlockSpec(
+                    (_QT, 4),
+                    lambda i, j, nq, nr, rbb, cand, cnt: (
+                        jnp.minimum(i, jnp.maximum((nq[0] - 1) // _QT, 0)),
+                        0,
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (4, rt),
+                    lambda i, j, nq, nr, rbb, cand, cnt: (0, cand[i, j]),
+                    memory_space=pltpu.VMEM,
+                ),
+            ] + warm_specs,
+            out_specs=[
+                pl.BlockSpec((8, _QT), lambda i, j, *s: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, _QT), lambda i, j, *s: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.SMEM((1, 1), jnp.float32),
+                pltpu.SMEM((8,), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_qt * 8, _QT), jnp.float32),
+            jax.ShapeDtypeStruct((n_qt * 8, _QT), jnp.int32),
+        ],
+        interpret=interpret,
+    )(nq, nr, rbb, cand, cnt, q4, r4t, *warm_inputs)
+    return scores, idx
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
@@ -443,7 +664,8 @@ def knn_xla(query: Array, ref: Array, nr=None, *, tile: int = 2048):
     return jnp.maximum(best_d, 0.0), best_i
 
 
-def knn(query: Array, ref: Array, nr=None, nq=None, init_idx=None):
+def knn(query: Array, ref: Array, nr=None, nq=None, init_idx=None,
+        q_perm=None):
     """Backend-dispatching top-1 KNN (Pallas on TPU, XLA elsewhere).
 
     ``nq`` (valid query count): results past it are undefined — the Pallas
@@ -451,8 +673,9 @@ def knn(query: Array, ref: Array, nr=None, nq=None, init_idx=None):
     ``init_idx`` (optional warm-start candidates, -1 = none) accelerates
     the Pallas kernel's branch-and-bound (see knn_pallas); the XLA
     fallback is full brute force either way, so it ignores them — results
-    are identical by exactness.
+    are identical by exactness. ``q_perm``: optional cached query Morton
+    permutation for the candidate-table path (see knn_pallas).
     """
     if jax.default_backend() == "tpu":
-        return knn_pallas(query, ref, nr, nq, init_idx)
+        return knn_pallas(query, ref, nr, nq, init_idx, q_perm)
     return knn_xla(query, ref, nr)

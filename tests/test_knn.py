@@ -272,3 +272,52 @@ def test_regather_sorted_stale_perm_invariants():
     back = perm[np.asarray(i_view)]
     d_via = ((q - pts2[back]) ** 2).sum(-1)
     np.testing.assert_allclose(d_via, np.asarray(d_raw), atol=1e-5)
+
+
+def test_knn_pallas_candidate_table_matches_brute(monkeypatch):
+    """The round-5 candidate-table grid (warm + nrt > _MAX_CAND) must be
+    exact. At the production _RT=8192 the path needs >524k refs — far too
+    big for interpret mode — so shrink the tile constants instead: the
+    table construction, the lax.cond dispatch, and the table-driven kernel
+    are all exercised at toy scale."""
+    import sys
+
+    import e2eslam_tpu.ops.knn  # noqa: F401 — ensure the module is loaded
+
+    # `ops/__init__` re-exports the `knn` FUNCTION under the same name, so
+    # attribute access resolves to it; fetch the module object directly.
+    knn_mod = sys.modules["e2eslam_tpu.ops.knn"]
+    monkeypatch.setattr(knn_mod, "_RT", 64)
+    monkeypatch.setattr(knn_mod, "_MAX_CAND", 4, raising=False)
+
+    rng = np.random.default_rng(11)
+    nq, nr = 130, 64 * 140  # nrt=140 > _MAX_CAND=128 at the patched width
+    # Clustered SLAM-like layout so bbox pruning actually engages.
+    centers = rng.normal(size=(140, 3)) * 5.0
+    r = (centers[:, None, :] + rng.normal(size=(140, 64, 3)) * 0.1).reshape(
+        -1, 3
+    ).astype(np.float32)
+    q = r[rng.integers(0, nr, nq)] + rng.normal(size=(nq, 3)).astype(
+        np.float32
+    ) * 0.05
+    want_d, want_i = brute(q, r)
+
+    # Near-optimal seeds: the true NN for every query (one unseeded query
+    # would push its whole tile's threshold to the sentinel — every tile
+    # becomes a candidate and the call correctly falls back to dense).
+    init = want_i.astype(np.int32).copy()
+    # The jitted wrapper caches on shapes, not module globals — call the
+    # unjitted function directly.
+    fn = knn_pallas.__wrapped__
+    d, i = fn(jnp.asarray(q), jnp.asarray(r), None, None,
+              jnp.asarray(init), interpret=True)
+    np.testing.assert_allclose(np.asarray(d), want_d, rtol=1e-4, atol=1e-4)
+    # Distances must match exactly-ranked winners (ties may differ).
+    d_of_i = ((q - r[np.asarray(i)]) ** 2).sum(-1)
+    np.testing.assert_allclose(d_of_i, want_d, rtol=1e-4, atol=1e-4)
+
+    # Unseeded queries force the dense fallback branch of the cond when
+    # every seed is -1 (threshold = sentinel, every tile is a candidate).
+    d2, i2 = fn(jnp.asarray(q), jnp.asarray(r), None, None,
+                jnp.asarray(np.full(nq, -1, np.int32)), interpret=True)
+    np.testing.assert_allclose(np.asarray(d2), want_d, rtol=1e-4, atol=1e-4)

@@ -22,6 +22,13 @@ gate() {
 
 gate || { echo "tunnel down — aborting r5d"; exit 1; }
 
+echo "== r5d-0b: chamfer-row trace $(date -u +%H:%M:%S)"
+timeout 3600 python tools/trace_exact.py --row chamfer --frames 20 \
+  > "$LOGDIR/9_trace_chamfer_r5.log" 2>&1 \
+  || echo "RUNBOOK_FAIL" >> "$LOGDIR/9_trace_chamfer_r5.log"
+grep -A 20 "top ops" "$LOGDIR/9_trace_chamfer_r5.log" | head -24
+
+gate || exit 1
 echo "== r5d-1: batched sweep, round-5 attacks $(date -u +%H:%M:%S)"
 timeout 5400 python tools/bench_batched.py --b 1 2 4 8 --dispatch event \
   > "$LOGDIR/3_batched_r5_event.log" 2>&1 \

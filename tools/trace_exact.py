@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--out", default="/tmp/exact_trace")
     ap.add_argument("--ops", type=int, default=30)
+    ap.add_argument("--row", choices=["three3d", "chamfer"],
+                    default="three3d",
+                    help="which bench_exact row to trace (chamfer = the "
+                         "TUM-like bidirectional brute config)")
     args = ap.parse_args()
 
     from e2eslam_tpu.config import enable_compilation_cache
@@ -34,13 +38,21 @@ def main():
     from e2eslam_tpu.engine.adaptation import OnlineAdaptation
 
     cfg = base_cfg()
-    cfg.DATA.dilation = 2
-    cfg.DEMO.sequence_length = int(args.frames)
-    cfg.DEMO.frame_threshold = 0.03
-    cfg.LOSS.three3d_loss = True
-    # Map capacity at the FULL 60-frame scale so the KNN sees realistic
-    # tile counts even on the short traced prefix.
-    cfg.MODEL.map_capacity = 60 * 256 * 320
+    if args.row == "chamfer":
+        cfg.DATA.dilation = 5
+        cfg.DEMO.sequence_length = int(args.frames)
+        cfg.DEMO.frame_threshold = 0.12
+        cfg.LOSS.three3d_loss = False
+        cfg.LOSS.chamfer_distance = True
+        cfg.MODEL.map_capacity = 40 * 256 * 320
+    else:
+        cfg.DATA.dilation = 2
+        cfg.DEMO.sequence_length = int(args.frames)
+        cfg.DEMO.frame_threshold = 0.03
+        cfg.LOSS.three3d_loss = True
+        # Map capacity at the FULL 60-frame scale so the KNN sees realistic
+        # tile counts even on the short traced prefix.
+        cfg.MODEL.map_capacity = 60 * 256 * 320
 
     runner = OnlineAdaptation(cfg)
     runner.use_sequence_program = False

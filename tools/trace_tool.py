@@ -35,9 +35,15 @@ def summarize(xs, top_ops=25):
             for s in m.stats:
                 k = stat_names.get(s.metadata_id, "")
                 if k in ("tf_op", "source", "source_info", "equation"):
-                    v = s.str_metadata_id
-                    val = stat_names.get(v, "") if v else (
-                        s.str_value if s.HasField("str_value") else "")
+                    # XStat value is a oneof: str refs go through
+                    # ref_value (an id into stat_metadata), literals
+                    # through str_value.
+                    if s.WhichOneof("value") == "ref_value":
+                        val = stat_names.get(s.ref_value, "")
+                    elif s.WhichOneof("value") == "str_value":
+                        val = s.str_value
+                    else:
+                        val = ""
                     if val:
                         parts.append(f"{k}={val}")
             if parts:
