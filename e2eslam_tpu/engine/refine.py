@@ -819,6 +819,29 @@ class RefinementEngine:
                     # kernel skips query tiles beyond the valid prefix, so
                     # this direction costs O(actual map size), not capacity.
                     ki_ba = None if knn_init is None else knn_init.get("ba")
+                    if ki_ba is None and stride == 1:
+                        # PROJECTIVE ba seeding (round 5): each map point's
+                        # step-0 candidate is the frame point at the pixel
+                        # it projects to — near-optimal for visible points
+                        # and edge-clamped (a plausible nearest) off-frame.
+                        # The frame cloud is laid out per-pixel at stride
+                        # 1, so the pixel index IS the ref index. The refs
+                        # are T_rel-shifted (reference semantics), so the
+                        # effective camera is T_rel o frame.pose. An
+                        # achieved bound per query -> the narrow candidate
+                        # table engages for every map-query tile instead
+                        # of overflowing on unseeded calls (exactness is
+                        # unconditional — seeds are re-scored candidates).
+                        from e2eslam_tpu.slam.fusion import _project_pixels
+
+                        H_, W_ = frame.depth.shape[:2]
+                        pix_seed, _ = _project_pixels(
+                            map_pts, _mm(T_rel, frame.pose),
+                            frame.intrinsics, H_, W_,
+                        )
+                        ki_ba = jax.lax.stop_gradient(
+                            pix_seed.astype(jnp.int32)
+                        )
                     idx_ba = jax.lax.stop_gradient(
                         knn(map_pts, jax.lax.stop_gradient(pts_safe),
                             nq=map_count, init_idx=ki_ba)[1]

@@ -73,6 +73,18 @@ _RT_CAND = 2048
 # Static width of the candidate table (per query tile); any tile needing
 # more falls the whole call back to the dense sweep.
 _MAX_CAND = 128
+# Resident-ref kernel (round 5): when the whole augmented ref array fits
+# VMEM (<= 2 MB = 128k rows), keep it resident across the entire call —
+# one DMA total — and sweep sub-tiles with an in-kernel bbox-pruned loop.
+# This is the map->frame chamfer direction's shape (multi-M map queries
+# against one 82k-point frame) where the per-query-tile dense sweep paid
+# a full ref re-stream per tile and the SMEM candidate table cannot fit.
+_RES_MAX_ROWS = 1 << 17
+# Resident sub-tile (bbox granularity). Measured on chip (tum_chamfer
+# end-to-end): 512 LOSES to 2048 (1.007 vs 1.31 steps/s) — the per-query-
+# tile scalar loops scale with S and at S=160 their overhead exceeds the
+# saved VPU reductions.
+_ST = 2048
 _NEG = -1e30  # bias sentinel for invalid reference rows
 
 
@@ -175,7 +187,9 @@ def _knn_kernel_body(nq_ref, nr_ref, rbb_ref, q_ref, r_ref,
     if cand_ref is None:
         jr = nrt - 1 - j  # newest-first
     else:
-        jr = cand_ref[i, j]  # best-first candidate table
+        jr = cand_ref[j, i]  # best-first candidate table (MC-major —
+        # a [n_qt, MC] layout lane-pads each row and overflows SMEM at
+        # map-scale query counts, like the bbox table before it)
 
     @pl.when(j == 0)
     def _init():
@@ -323,14 +337,31 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, init_idx=None,
     # candidates 16.9 -> 8.2 at RT 8192). Results are unsorted at the end;
     # ref indices are unaffected. Gated to the small-query candidate path
     # (the map->frame direction's queries are the already-sorted map).
-    _MC = _MAX_CAND
     rt_c = min(_RT_CAND, _RT)  # tests shrink _RT below _RT_CAND
     nrt_c = nr_pad // rt_c
     warm = init_idx is not None
+    # Tiered table width vs SMEM: the frame->map direction (few query
+    # tiles, many ref tiles) gets the wide table; the map->frame chamfer
+    # direction (many query tiles, few ref tiles) gets a NARROW one —
+    # at n_qt <= 16384 an 8-wide table is ~0.5 MB of SMEM, and with
+    # projectively/threaded-seeded bounds its candidate sets are 1-2
+    # tiles. Queries are Morton-sorted only in the first regime (the
+    # second's queries are the already-sorted map; a multi-M argsort per
+    # call would dwarf the win).
+    n_qt_s = nq_pad // _QT
+    if n_qt_s <= 2048:
+        _MC = _MAX_CAND
+        sort_queries = True
+    elif n_qt_s <= 16384:
+        _MC = 8
+        sort_queries = False
+    else:
+        _MC = None
+        sort_queries = False
     use_cand = (
         warm
+        and _MC is not None
         and nrt_c > _MC  # otherwise the dense sweep is already short
-        and (nq_pad // _QT) <= 2048  # SMEM budget for the prefetch table
     )
     # ``q_perm``: optional caller-provided query permutation. The Morton
     # argsort costs ~26 ms at 82k queries on v5e — as much as the whole
@@ -339,7 +370,7 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, init_idx=None,
     # cache. ANY permutation preserves exactness (results are unsorted at
     # the end); a stale one only loosens tile tightness.
     qperm = None
-    if use_cand:
+    if use_cand and sort_queries:
         if q_perm is not None:
             qperm = jnp.asarray(q_perm, jnp.int32)
         else:
@@ -434,6 +465,25 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, init_idx=None,
     # compiled program) whenever any tile's candidate count exceeds the
     # static table width, e.g. unseeded queries whose threshold is the
     # no-candidate sentinel.
+    # Fallback when the table overflows (or no table applies): the
+    # resident-ref kernel when the whole ref array fits VMEM, else the
+    # dense sweep.
+    if nr_pad <= _RES_MAX_ROWS and nr_pad % min(_ST, _RT) == 0:
+        def _fallback_call():
+            # Resident-ref kernel: covers the exact chamfer's map->frame
+            # direction (any query count, no SMEM table) and the step-0
+            # tail-seed pre-pass; warm and cold alike.
+            st_r = min(_ST, _RT)  # tests shrink _RT below _ST
+            S = nr_pad // st_r
+            rbb_res = tile_bbox(_pad_to(r, nr_pad, 0), st_r)
+            r_res = jnp.swapaxes(r4t.reshape(4, S, st_r), 0, 1)
+            return _resident_pallas_call(
+                S, warm, grid[0], nq, nr, rbb_res, q4, r_res, warm_inputs,
+                st=st_r, interpret=interpret,
+            )
+    else:
+        _fallback_call = dense_call
+
     if use_cand:
         n_qt = nq_pad // _QT
         s0p = _pad_to(s0, nq_pad, 0, value=_NEG)
@@ -465,32 +515,34 @@ def knn_pallas(query: Array, ref: Array, nr=None, nq=None, init_idx=None,
         thresh = wb0 * (1.0 + 1e-6) + 1e-9
         is_cand = lb2 < thresh[:, None]
         counts = jnp.sum(is_cand.astype(jnp.int32), axis=1)  # [n_qt]
-        fits = jnp.max(counts) <= _MAX_CAND
+        fits = jnp.max(counts) <= _MC
 
         order = jnp.argsort(
             jnp.where(is_cand, lb2, jnp.inf), axis=1
-        )[:, :_MAX_CAND].astype(jnp.int32)  # best-first
-        cnt = jnp.minimum(counts, _MAX_CAND).astype(jnp.int32)
+        )[:, :_MC].astype(jnp.int32)  # best-first
+        cnt = jnp.minimum(counts, _MC).astype(jnp.int32)
         # Entries past cnt repeat the last candidate: their grid steps
         # keep the same block index, so Mosaic skips the re-DMA.
         last = jnp.take_along_axis(
             order, jnp.maximum(cnt - 1, 0)[:, None], axis=1
         )
-        jj = jnp.arange(_MAX_CAND, dtype=jnp.int32)
+        jj = jnp.arange(_MC, dtype=jnp.int32)
         cand = jnp.where(
             jj[None, :] < jnp.maximum(cnt, 1)[:, None], order, last
         )
 
+        cand_t = cand.T  # [MC, n_qt]: lane dim = query tiles (SMEM-lean)
+
         def cand_call():
             return _cand_pallas_call(
-                nrt_c, grid[0], _MAX_CAND, warm_specs, nq, nr, rbb_c,
-                cand, cnt, q4, r4t, warm_inputs, rt=rt_c,
+                nrt_c, grid[0], _MC, warm_specs, nq, nr, rbb_c,
+                cand_t, cnt, q4, r4t, warm_inputs, rt=rt_c,
                 interpret=interpret,
             )
 
-        scores, idx = jax.lax.cond(fits, cand_call, dense_call)
+        scores, idx = jax.lax.cond(fits, cand_call, _fallback_call)
     else:
-        scores, idx = dense_call()
+        scores, idx = _fallback_call()
     # Rows are replicated 8x within each tile block; keep row 0 of each.
     best_score = scores[::8].reshape(-1)[:Nq]
     best_idx = idx[::8].reshape(-1)[:Nq]
@@ -575,6 +627,177 @@ def _dense_pallas_call(nrt, warm, grid, warm_specs, nq, nr, rbb, q4, r4t,
     return scores, idx
 
 
+def _make_resident_kernel(S: int, warm: bool, st: int):
+    """Whole-ref-resident kernel: 1-D grid over query tiles; the ENTIRE
+    augmented ref array lives in VMEM as one [S, 4, ST] block (constant
+    index -> a single DMA for the whole call) and each grid step runs an
+    in-kernel ``fori_loop`` over the S sub-tiles with the same bbox
+    branch-and-bound as the tiled kernels (``pl.when`` skips compute).
+    Exactness is identical; only tie resolution (visit order) differs.
+    """
+
+    def _kernel(*refs):
+        nq_ref, nr_ref, rbb_ref, q_ref, r_ref = refs[:5]
+        refs = refs[5:]
+        if warm:
+            (s0_ref, i0_ref, score_ref, idx_ref, wb_ref, qbb_ref,
+             lb_ref) = refs
+        else:
+            score_ref, idx_ref, wb_ref, qbb_ref, lb_ref = refs
+            s0_ref = None
+            i0_ref = None
+        i = pl.program_id(0)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, _QT), 1)[0]
+        validq = (i * _QT + col) < nq_ref[0]
+        q2 = jnp.sum(q_ref[...] * q_ref[...], axis=1) - 1.0
+
+        if s0_ref is None:
+            score_ref[...] = jnp.full_like(score_ref, _NEG)
+            idx_ref[...] = jnp.zeros_like(idx_ref)
+            wb_ref[0, 0] = jnp.float32(jnp.inf)
+        else:
+            s0 = s0_ref[0, 0, :]
+            score_ref[...] = jnp.broadcast_to(s0[None, :], score_ref.shape)
+            idx_ref[...] = jnp.broadcast_to(i0_ref[0, 0, :][None, :],
+                                            idx_ref.shape)
+            d2 = jnp.where(validq, q2 - 2.0 * s0, -jnp.inf)
+            wb_ref[0, 0] = jnp.max(d2)
+        for ax in range(3):
+            qbb_ref[ax] = jnp.min(q_ref[:, ax])
+            qbb_ref[3 + ax] = jnp.max(q_ref[:, ax])
+
+        def visit(s):
+            scores = jnp.dot(
+                q_ref[...], r_ref[s],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [QT, ST]
+            tile_max = jnp.max(scores, axis=1)
+            tile_arg = (
+                jnp.argmax(scores, axis=1).astype(jnp.int32) + s * st
+            )
+            cur = score_ref[0, :]
+            better = tile_max > cur
+            new_s = jnp.where(better, tile_max, cur)
+            new_i = jnp.where(better, tile_arg, idx_ref[0, :])
+            score_ref[...] = jnp.broadcast_to(
+                new_s[None, :], score_ref.shape
+            )
+            idx_ref[...] = jnp.broadcast_to(
+                new_i[None, :], idx_ref.shape
+            )
+            d2 = jnp.where(validq, q2 - 2.0 * new_s, -jnp.inf)
+            wb_ref[0, 0] = jnp.max(d2)
+
+        # Pass 0 (scalar): per-sub-tile bbox lower bounds into SMEM and
+        # the most promising (min-lb) sub-tile. Invalid/padded tiles get
+        # +inf so they can neither be visited nor win the first slot.
+        def lb_body(s, carry):
+            best_lb, best_s = carry
+            lb2 = jnp.float32(0.0)
+            for ax in range(3):
+                gap = jnp.maximum(
+                    jnp.maximum(qbb_ref[ax] - rbb_ref[3 + ax, s],
+                                rbb_ref[ax, s] - qbb_ref[3 + ax]),
+                    0.0,
+                )
+                lb2 = lb2 + gap * gap
+            lb2 = jnp.where(s * st < nr_ref[0], lb2, jnp.float32(jnp.inf))
+            lb_ref[s] = lb2
+            better = lb2 < best_lb
+            return (
+                jnp.where(better, lb2, best_lb),
+                jnp.where(better, s, best_s),
+            )
+
+        _, s_first = jax.lax.fori_loop(
+            0, S, lb_body,
+            (jnp.float32(jnp.inf), jnp.int32(0)),
+        )
+
+        # Visit the BEST tile first: its achieved max tightens the bound
+        # to near-optimal before the sweep, so only the thin shell of
+        # sub-tiles that could still beat a near-optimal bound pays
+        # compute. This matters most for queries far from the compact ref
+        # set (the exact chamfer's off-frustum map points), where blind
+        # visit order averaged half the sweep before the bound bit.
+        @pl.when(
+            (i * _QT < nq_ref[0]) & (lb_ref[s_first] < wb_ref[0, 0])
+        )
+        def _first():
+            visit(s_first)
+
+        def body(s, carry):
+            run = (
+                (s != s_first)
+                & (i * _QT < nq_ref[0])
+                & (lb_ref[s] < wb_ref[0, 0])
+            )
+
+            @pl.when(run)
+            def _visit():
+                visit(s)
+
+            return carry
+
+        jax.lax.fori_loop(0, S, body, 0)
+
+    return _kernel
+
+
+def _resident_pallas_call(S, warm, n_qt, nq, nr, rbb, q4, r_res,
+                          warm_inputs, st=_ST, interpret=False):
+    """See _make_resident_kernel. ``r_res``: [S, 4, ST] augmented refs."""
+    warm_specs = [
+        pl.BlockSpec((1, 1, _QT), lambda i, *s: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, _QT), lambda i, *s: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] if warm else []
+    scores, idx = pl.pallas_call(
+        _make_resident_kernel(S, warm, st),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,  # nq, nr, rbb
+            grid=(n_qt,),
+            in_specs=[
+                pl.BlockSpec(
+                    (_QT, 4),
+                    lambda i, nq, nr, rbb: (
+                        jnp.minimum(i, jnp.maximum((nq[0] - 1) // _QT, 0)),
+                        0,
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+                # Whole ref array as ONE resident block: constant index ->
+                # DMA'd once, reused by every grid step.
+                pl.BlockSpec(
+                    (S, 4, st),
+                    lambda i, nq, nr, rbb: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ] + warm_specs,
+            out_specs=[
+                pl.BlockSpec((8, _QT), lambda i, *s: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, _QT), lambda i, *s: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.SMEM((1, 1), jnp.float32),
+                pltpu.SMEM((8,), jnp.float32),
+                pltpu.SMEM((S,), jnp.float32),  # per-sub-tile lb cache
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_qt * 8, _QT), jnp.float32),
+            jax.ShapeDtypeStruct((n_qt * 8, _QT), jnp.int32),
+        ],
+        interpret=interpret,
+    )(nq, nr, rbb, q4, r_res, *warm_inputs)
+    return scores, idx
+
+
 def _cand_pallas_call(nrt, n_qt, max_cand, warm_specs, nq, nr, rbb,
                       cand, cnt, q4, r4t, warm_inputs, rt=_RT,
                       interpret=False):
@@ -601,7 +824,7 @@ def _cand_pallas_call(nrt, n_qt, max_cand, warm_specs, nq, nr, rbb,
                 ),
                 pl.BlockSpec(
                     (4, rt),
-                    lambda i, j, nq, nr, rbb, cand, cnt: (0, cand[i, j]),
+                    lambda i, j, nq, nr, rbb, cand, cnt: (0, cand[j, i]),
                     memory_space=pltpu.VMEM,
                 ),
             ] + warm_specs,
