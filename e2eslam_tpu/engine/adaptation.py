@@ -305,7 +305,10 @@ class OnlineAdaptation:
                         print(f"[bucket] kf={len(kf_hist)} known={known} "
                               f"lag={lag} ub={ub} bucket={bucket}",
                               flush=True)
-                    # Periodic re-sort (LOSS.knn_sort_period, default 4):
+                    # Periodic re-sort (LOSS.knn_sort_period, default 1 —
+                    # the round-5 sweep measured fresh per-keyframe sorts
+                    # FASTER than stale-perm regathers once the
+                    # candidate-table KNN rewards tight tiles):
                     # the argsort runs every K keyframes; in between the
                     # cached perm is re-gathered over the CURRENT points —
                     # one gather instead of sort+scatter, exactness-
@@ -313,7 +316,7 @@ class OnlineAdaptation:
                     # bucket growth forces a fresh sort (the cached perm
                     # only covers the old slice).
                     period = int(
-                        cfg.LOSS.get("knn_sort_period", 4) or 1
+                        cfg.LOSS.get("knn_sort_period", 1) or 1
                     )
                     if self._sort_cache_stale(period, bucket, known):
                         mi = self.engine.build_map_index(global_map,
